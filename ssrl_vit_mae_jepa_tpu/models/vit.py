@@ -1,0 +1,184 @@
+"""Vision Transformer — pure-functional flax module, TPU-first.
+
+Re-implements the behavioral contract of timm 1.0.21's ``VisionTransformer``
+as used by the reference (``src/models/mae.py:28-36``,
+``src/training/classifier.py:49-57``; contract in SURVEY.md §2.2):
+
+- patch embedding (8×8 stride-8) — realized as **patchify + matmul** rather
+  than a conv so XLA tiles it straight onto the MXU; the weight layout is
+  convertible 1:1 from timm's conv kernel,
+- prepended CLS token, learned position embedding over the full
+  (1 + N)-token sequence, pre-LN transformer blocks (MHSA + MLP ratio 4,
+  GELU), final LayerNorm,
+- ``num_classes=0`` semantics: the module returns the (B, L, D) token
+  sequence (timm ``forward_features``),
+- blocks addressable by index for the freeze-last-n policy (reference
+  ``src/training/classifier.py:139-171``) — realized as optimizer masking
+  over the ``blocks_{i}`` parameter sub-trees,
+- the masked-encoder path (lightly ``MaskedVisionTransformerTIMM.encode``,
+  reference ``src/models/mae.py:85``): pos-embed is added first, then only
+  ``idx_keep`` tokens are gathered and the blocks run on the short sequence.
+
+Compute dtype is bf16 by default with fp32 params (mirrors the reference's
+bf16-mixed autocast, ``scripts/training/pretrain_mae.py:123``); LayerNorm
+statistics and softmax run in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ssrl_vit_mae_jepa_tpu.ops.attention import multi_head_attention
+from ssrl_vit_mae_jepa_tpu.ops.masking import get_at_index
+from ssrl_vit_mae_jepa_tpu.ops.patches import patchify
+
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(
+            self.hidden_dim,
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init,
+            name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(
+            self.out_dim,
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init,
+            name="fc2",
+        )(x)
+        return x
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        B, L, D = x.shape
+        h = self.num_heads
+        hd = D // h
+        qkv = nn.Dense(
+            3 * D, dtype=self.dtype, kernel_init=trunc_normal_init, name="qkv"
+        )(x)
+        qkv = qkv.reshape(B, L, 3, h, hd).transpose(2, 0, 3, 1, 4)  # (3, B, h, L, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        out = multi_head_attention(q, k, v, impl=self.attn_impl)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        out = nn.Dense(
+            D, dtype=self.dtype, kernel_init=trunc_normal_init, name="proj"
+        )(out)
+        return out
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(
+            self.dim, self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
+            name="attn",
+        )(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        x = x + Mlp(
+            int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp"
+        )(y)
+        return x
+
+
+class VisionTransformer(nn.Module):
+    """Tokens-out ViT (timm ``num_classes=0`` contract)."""
+
+    img_size: int = 96
+    patch_size: int = 8
+    in_chans: int = 3
+    embed_dim: int = 144
+    depth: int = 4
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    @property
+    def sequence_length(self) -> int:
+        return self.num_patches + 1
+
+    @nn.compact
+    def __call__(
+        self, images: jnp.ndarray, idx_keep: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """(B, H, W, C) images → (B, L', D) normed tokens.
+
+        With ``idx_keep`` (B, K): the lightly masked-encode path — gather the
+        kept tokens *after* adding positional embeddings, then run the blocks
+        on the K-token sequence. Without it: timm ``forward_features``.
+        """
+        B = images.shape[0]
+        D = self.embed_dim
+
+        patches = patchify(images.astype(self.dtype), self.patch_size)
+        x = nn.Dense(D, dtype=self.dtype, name="patch_embed")(patches)
+
+        cls_token = self.param("cls_token", trunc_normal_init, (1, 1, D), jnp.float32)
+        pos_embed = self.param(
+            "pos_embed", trunc_normal_init, (1, self.sequence_length, D), jnp.float32
+        )
+        cls = jnp.broadcast_to(cls_token.astype(self.dtype), (B, 1, D))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + pos_embed.astype(self.dtype)
+
+        if idx_keep is not None:
+            x = get_at_index(x, idx_keep)
+
+        for i in range(self.depth):
+            x = Block(
+                D,
+                self.num_heads,
+                self.mlp_ratio,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name=f"blocks_{i}",
+            )(x)
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        return x
+
+
+def vit_from_config(model_cfg: dict, dtype=jnp.bfloat16, attn_impl: str = "auto"):
+    """Build a VisionTransformer from the reference YAML ``model`` section."""
+    general = model_cfg.get("general", {})
+    enc = model_cfg.get("encoder", {})
+    return VisionTransformer(
+        img_size=general.get("image_size", 96),
+        patch_size=general.get("patch_size", 8),
+        in_chans=general.get("in_chans", 3),
+        embed_dim=enc.get("embed_dim", 144),
+        depth=enc.get("depth", 4),
+        num_heads=enc.get("num_heads", 6),
+        dtype=dtype,
+        attn_impl=attn_impl,
+    )

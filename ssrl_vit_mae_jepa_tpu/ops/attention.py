@@ -1,0 +1,70 @@
+"""Multi-head attention: XLA path + fused Pallas TPU kernel.
+
+Replaces the torch SDPA/cuDNN attention the reference reaches through timm
+(reference ``src/models/mae.py:28-36`` via ``timm`` blocks). Sequences here
+are tiny (37 kept tokens for the masked MAE encoder, 145 for the decoder /
+classifier — SURVEY.md §5.7), so the fused kernel keeps the whole (L, L)
+score matrix in VMEM and wins by *batch blocking* and fusing the softmax
+between the two matmuls; there is no need for flash-style KV tiling.
+
+`impl` selection:
+- "xla": plain jnp einsum attention (always correct, differentiable; XLA
+  already fuses scale+softmax into the matmuls well),
+- "pallas": fused Pallas kernel with a custom VJP,
+- "auto": pallas on TPU when shapes are supported, else XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def mha_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Attention over (B, H, L, d) tensors → (B, H, L, d)."""
+    d = q.shape[-1]
+    scale = 1.0 / (d**0.5)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_supported(B: int, H: int, L: int, d: int, dtype_name: str) -> bool:
+    from ssrl_vit_mae_jepa_tpu.ops import attention_pallas
+
+    return attention_pallas.supported(B, H, L, d, dtype_name)
+
+
+def multi_head_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, impl: str = "auto"
+) -> jnp.ndarray:
+    """Dispatch attention over (B, H, L, d) tensors."""
+    if impl == "xla":
+        return mha_xla(q, k, v)
+    B, H, L, d = q.shape
+    if impl in ("pallas", "auto"):
+        try:
+            supported = _pallas_supported(B, H, L, d, str(q.dtype))
+        except Exception:
+            supported = False
+        if supported and (_on_tpu() or impl == "pallas"):
+            from ssrl_vit_mae_jepa_tpu.ops import attention_pallas
+
+            return attention_pallas.mha_pallas(q, k, v)
+        if impl == "pallas":
+            raise ValueError(
+                f"pallas attention unsupported for shape B={B} H={H} L={L} d={d}"
+            )
+    return mha_xla(q, k, v)

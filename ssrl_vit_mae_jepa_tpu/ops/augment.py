@@ -1,0 +1,132 @@
+"""Fused on-device image augmentation (jit/XLA), replacing host transforms.
+
+The reference augments on CPU inside 4 DataLoader worker processes
+(RandomResizedCrop(96, scale=(0.8, 1.0)) + RandomHorizontalFlip + ToTensor +
+Normalize(0.5, 0.5), reference ``src/data.py:15-34``) and ships float32
+tensors over pinned memory. Here the host ships raw **uint8 NHWC** batches and
+the whole augmentation runs on device inside the jitted train step:
+
+  uint8 → bilinear random-resized-crop (scale/translate gather) → flip
+        → normalize to [-1, 1] (x * 2/255 - 1)
+
+which is HBM-bandwidth-friendly (4× smaller H2D transfer) and fuses into the
+surrounding XLA program.
+
+RandomResizedCrop semantics follow torchvision: target area uniform in
+``scale``·H·W, aspect ratio log-uniform in (3/4, 4/3); instead of
+torchvision's 10-attempt rejection loop (data-dependent control flow that
+doesn't jit), the sampled crop box is clamped to the image — a negligible
+distribution difference at scale (0.8, 1.0) on square images, documented here
+deliberately (SURVEY.md §7 hard-part 2).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_RATIO = (3.0 / 4.0, 4.0 / 3.0)
+
+
+def normalize(images_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 [0, 255] → dtype in [-1, 1] (Normalize(mean=.5, std=.5))."""
+    return images_u8.astype(dtype) * jnp.asarray(2.0 / 255.0, dtype) - jnp.asarray(
+        1.0, dtype
+    )
+
+
+def _sample_crop_params(
+    rng: jax.Array,
+    height: int,
+    width: int,
+    scale: Tuple[float, float],
+    ratio: Tuple[float, float] = DEFAULT_RATIO,
+):
+    """Sample (top, left, crop_h, crop_w) for one example (float, clamped)."""
+    k_area, k_ratio, k_top, k_left = jax.random.split(rng, 4)
+    area = height * width
+    target_area = area * jax.random.uniform(k_area, (), minval=scale[0], maxval=scale[1])
+    log_ratio = jax.random.uniform(
+        k_ratio, (), minval=math.log(ratio[0]), maxval=math.log(ratio[1])
+    )
+    aspect = jnp.exp(log_ratio)
+    w = jnp.sqrt(target_area * aspect)
+    h = jnp.sqrt(target_area / aspect)
+    w = jnp.clip(w, 1.0, float(width))
+    h = jnp.clip(h, 1.0, float(height))
+    top = jax.random.uniform(k_top, ()) * (height - h)
+    left = jax.random.uniform(k_left, ()) * (width - w)
+    return top, left, h, w
+
+
+def _crop_resize_one(
+    img: jnp.ndarray, top, left, crop_h, crop_w, out_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Bilinear resample of crop box [top:top+h, left:left+w] → out_hw."""
+    out_h, out_w = out_hw
+    scale = jnp.stack([out_h / crop_h, out_w / crop_w])
+    translation = jnp.stack([-top * out_h / crop_h, -left * out_w / crop_w])
+    return jax.image.scale_and_translate(
+        img,
+        shape=(out_h, out_w, img.shape[-1]),
+        spatial_dims=(0, 1),
+        scale=scale.astype(jnp.float32),
+        translation=translation.astype(jnp.float32),
+        method="linear",
+        antialias=True,
+    )
+
+
+@partial(jax.jit, static_argnames=("out_size", "scale", "dtype"))
+def random_resized_crop_flip_normalize(
+    rng: jax.Array,
+    images_u8: jnp.ndarray,
+    out_size: int = 96,
+    scale: Tuple[float, float] = (0.8, 1.0),
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Train-time augmentation: (B, H, W, C) uint8 → (B, out, out, C) in [-1, 1]."""
+    B, H, W, C = images_u8.shape
+    k_crop, k_flip = jax.random.split(rng)
+    crop_keys = jax.random.split(k_crop, B)
+    images = normalize(images_u8, dtype=jnp.float32)
+
+    def aug_one(key, img):
+        top, left, h, w = _sample_crop_params(key, H, W, scale)
+        return _crop_resize_one(img, top, left, h, w, (out_size, out_size))
+
+    out = jax.vmap(aug_one)(crop_keys, images)
+    flip = jax.random.bernoulli(k_flip, 0.5, (B, 1, 1, 1))
+    out = jnp.where(flip, out[:, :, ::-1, :], out)
+    return out.astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("out_size", "dtype"))
+def eval_transform(
+    images_u8: jnp.ndarray, out_size: int = 96, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Eval transform: Resize(out)+CenterCrop(out)+normalize.
+
+    For STL-10's native 96×96 inputs with out_size 96 the geometric part is
+    the identity (as in the reference), so this is just the normalize.
+    """
+    B, H, W, C = images_u8.shape
+    x = normalize(images_u8, dtype=jnp.float32)
+    if (H, W) != (out_size, out_size):
+        short = min(H, W)
+        new_h, new_w = (
+            (out_size, int(round(out_size * W / short)))
+            if H <= W
+            else (int(round(out_size * H / short)), out_size)
+        )
+        x = jax.image.resize(x, (B, new_h, new_w, C), method="linear")
+        top = (new_h - out_size) // 2
+        left = (new_w - out_size) // 2
+        x = jax.lax.dynamic_slice(
+            x, (0, top, left, 0), (B, out_size, out_size, C)
+        )
+    return x.astype(dtype)
