@@ -1,0 +1,327 @@
+"""Training tasks: the objective + optimizer + jitted step for each stage.
+
+Replaces the reference's LightningModules (``MAEPretrainModule`` at
+``src/training/mae.py:14``, ``ViTClassifierTrainModule`` at
+``src/training/classifier.py:16``) with pure-functional tasks: every task
+builds ONE jitted train step (augmentation → forward → loss → grads →
+clipped AdamW update, all fused by XLA on device) and one jitted eval step.
+Epoch-level hyperparameters (LR factor) are computed *inside* the jitted
+step from a traced epoch scalar — no per-epoch recompilation; the MAE
+mask-ratio ramp changes a **static** token count and re-specializes the step
+once per distinct ratio (≤5 compiles for the reference ramp).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ssrl_vit_mae_jepa_tpu.models.classifier import classifier_from_config
+from ssrl_vit_mae_jepa_tpu.models.mae import mae_from_config
+from ssrl_vit_mae_jepa_tpu.ops.augment import (
+    eval_transform,
+    random_resized_crop_flip_normalize,
+)
+from ssrl_vit_mae_jepa_tpu.ops.masking import num_masked_tokens, random_token_mask
+from ssrl_vit_mae_jepa_tpu.training.optim import (
+    make_optimizer,
+    set_learning_rate,
+    stop_gradients_on_frozen,
+    trainable_mask,
+)
+from ssrl_vit_mae_jepa_tpu.training.schedules import (
+    effective_pretrain_lr,
+    mask_ratio_at_epoch,
+    warmup_cosine_factor,
+)
+from ssrl_vit_mae_jepa_tpu.training.state import TrainState
+
+
+class Task:
+    """Base: owns model, optimizer, freeze mask, and the jitted steps."""
+
+    #: built by subclasses
+    model = None
+
+    def __init__(self):
+        self.tx: Optional[optax.GradientTransformation] = None
+        self.mask = None
+        self._train_step = None
+        self._eval_step = None
+
+    # ---- subclass hooks -------------------------------------------------
+    def init_params(self, rng) -> Any:
+        raise NotImplementedError
+
+    def loss_and_metric_sums(
+        self, params, images, batch, rng, ctx
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        raise NotImplementedError
+
+    def eval_metric_sums(self, params, images, batch, rng, ctx) -> Dict[str, jnp.ndarray]:
+        loss, sums = self.loss_and_metric_sums(params, images, batch, rng, ctx)
+        return sums
+
+    def lr_value(self, epoch):
+        return self.base_lr * warmup_cosine_factor(
+            epoch, self.warmup_epochs, self.total_epochs
+        )
+
+    def epoch_context(self, epoch: int):
+        """Static (hashable) per-epoch context; changing it re-specializes."""
+        return None
+
+    def host_epoch_metrics(self, epoch: int) -> Dict[str, float]:
+        return {}
+
+    def preprocess_train(self, rng, images_u8):
+        if getattr(self, "augment", True):
+            return random_resized_crop_flip_normalize(rng, images_u8, dtype=jnp.float32)
+        return eval_transform(images_u8, dtype=jnp.float32)
+
+    def preprocess_eval(self, images_u8):
+        return eval_transform(images_u8, dtype=jnp.float32)
+
+    # ---- engine ----------------------------------------------------------
+    def build_optimizer(self, params):
+        self.tx = make_optimizer(
+            learning_rate=self.base_lr,
+            weight_decay=self.weight_decay,
+            grad_clip=self.grad_clip,
+            trainable_mask=self.mask,
+        )
+        return self.tx.init(params)
+
+    def init_state(self, rng, init_params_override=None) -> TrainState:
+        params_rng, state_rng = jax.random.split(rng)
+        params = self.init_params(params_rng)
+        if init_params_override is not None:
+            params = init_params_override(params)
+        opt_state = self.build_optimizer(params)
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            rng=state_rng,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def train_step(self, state: TrainState, batch, epoch, ctx=None):
+        if self._train_step is None:
+            self._train_step = self._make_train_step()
+        return self._train_step(state, batch, jnp.asarray(epoch, jnp.float32), ctx)
+
+    def eval_step(self, params, batch, rng, ctx=None):
+        if self._eval_step is None:
+            self._eval_step = self._make_eval_step()
+        return self._eval_step(params, batch, rng, ctx)
+
+    def _make_train_step(self):
+        @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def step(state: TrainState, batch, epoch, ctx):
+            rng, aug_rng, task_rng = jax.random.split(state.rng, 3)
+            images = self.preprocess_train(aug_rng, batch["image"])
+
+            def loss_fn(p):
+                p_eff = (
+                    stop_gradients_on_frozen(p, self.mask)
+                    if self.mask is not None
+                    else p
+                )
+                return self.loss_and_metric_sums(p_eff, images, batch, task_rng, ctx)
+
+            (loss, sums), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            lr = self.lr_value(epoch)
+            opt_state = set_learning_rate(state.opt_state, lr)
+            updates, opt_state = self.tx.update(grads, opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=params, opt_state=opt_state, rng=rng, step=state.step + 1
+            )
+            sums = dict(sums)
+            sums["lr"] = lr
+            return new_state, sums
+
+        return step
+
+    def _make_eval_step(self):
+        @partial(jax.jit, static_argnums=(3,))
+        def step(params, batch, rng, ctx):
+            images = self.preprocess_eval(batch["image"])
+            return self.eval_metric_sums(params, images, batch, rng, ctx)
+
+        return step
+
+
+def _weighted(per_example: jnp.ndarray, weight: jnp.ndarray):
+    per_example = per_example.astype(jnp.float32)
+    loss_sum = jnp.sum(per_example * weight)
+    weight_sum = jnp.sum(weight)
+    return loss_sum, weight_sum
+
+
+class ClassifierTask(Task):
+    """Supervised CE training of ViTClassifier (reference
+    ``src/training/classifier.py:16-171``): CE + accuracy, AdamW over
+    trainable params only, warmup×cosine WITHOUT batch scaling (quirk Q3),
+    freeze policy as optimizer masking."""
+
+    monitor = "val_acc"
+    monitor_mode = "max"
+
+    def __init__(
+        self,
+        model_cfg: dict,
+        training_cfg: dict,
+        num_classes: int = 10,
+        dtype=jnp.bfloat16,
+        attn_impl: str = "auto",
+        augment: bool = True,
+    ):
+        super().__init__()
+        self.model_cfg = model_cfg
+        self.training_cfg = training_cfg
+        self.model = classifier_from_config(
+            model_cfg, num_classes=num_classes, dtype=dtype, attn_impl=attn_impl
+        )
+        self.base_lr = float(training_cfg.get("learning_rate", 3e-4))
+        self.weight_decay = float(training_cfg.get("weight_decay", 0.05))
+        self.warmup_epochs = int(training_cfg.get("warmup_epochs", 5))
+        self.total_epochs = int(training_cfg.get("total_epochs", 100))
+        self.grad_clip = 1.0
+        self.augment = augment
+        self.image_size = self.model.img_size
+        self._freeze_encoder = bool(training_cfg.get("freeze_encoder", True))
+        self._unfreeze_last = training_cfg.get("unfreeze_last_layers", None)
+
+    def init_params(self, rng):
+        dummy = jnp.zeros((1, self.image_size, self.image_size, self.model.in_chans))
+        return jax.jit(self.model.init)(rng, dummy)["params"]
+
+    def build_optimizer(self, params):
+        self.mask = trainable_mask(
+            params,
+            freeze_encoder=self._freeze_encoder,
+            unfreeze_last_layers=self._unfreeze_last,
+            depth=self.model.depth,
+        )
+        return super().build_optimizer(params)
+
+    def set_freeze_policy(self, freeze_encoder=False, unfreeze_last_layers=None):
+        """Apply the reference's config-override precedence
+        (``scripts/training/train_mae.py:166-176``) before init_state."""
+        self._freeze_encoder = freeze_encoder
+        self._unfreeze_last = unfreeze_last_layers
+
+    def loss_and_metric_sums(self, params, images, batch, rng, ctx):
+        logits = self.model.apply({"params": params}, images)
+        labels = batch["label"]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        per_ex = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        w = batch["weight"]
+        loss_sum, weight_sum = _weighted(per_ex, w)
+        correct = (jnp.argmax(logits, axis=1) == labels).astype(jnp.float32)
+        acc_sum = jnp.sum(correct * w)
+        loss = loss_sum / jnp.maximum(weight_sum, 1.0)
+        return loss, {
+            "loss_sum": loss_sum,
+            "acc_sum": acc_sum,
+            "weight_sum": weight_sum,
+        }
+
+    @staticmethod
+    def epoch_metrics_from_sums(sums: Dict[str, float], prefix: str) -> Dict[str, float]:
+        w = max(sums.get("weight_sum", 0.0), 1e-9)
+        return {
+            f"{prefix}_loss": sums.get("loss_sum", 0.0) / w,
+            f"{prefix}_acc": sums.get("acc_sum", 0.0) / w,
+        }
+
+
+class MAETask(Task):
+    """Self-supervised MAE pretraining (reference ``src/training/mae.py:14-83``):
+    per-sample random masking, MSE on masked patches, AdamW with linear LR
+    scaling lr·batch/256 (quirk Q3), warmup×cosine (quirk Q2), per-epoch
+    mask-ratio ramp with denominator ramp_epochs-1."""
+
+    monitor = "val_loss"
+    monitor_mode = "min"
+
+    def __init__(
+        self,
+        model_cfg: dict,
+        training_cfg: dict,
+        dtype=jnp.bfloat16,
+        attn_impl: str = "auto",
+        augment: Optional[bool] = None,
+    ):
+        super().__init__()
+        self.model_cfg = model_cfg
+        self.training_cfg = training_cfg
+        self.model = mae_from_config(model_cfg, dtype=dtype, attn_impl=attn_impl)
+        self.mask_start = float(training_cfg.get("mask_ratio_start", 0.5))
+        self.mask_end = float(training_cfg.get("mask_ratio_end", 0.85))
+        self.ramp_epochs = int(training_cfg.get("mask_ramp_epochs", 200))
+        base = float(training_cfg.get("base_learning_rate", 1.5e-4))
+        self.batch_size = int(training_cfg.get("batch_size", 512))
+        self.base_lr = effective_pretrain_lr(base, self.batch_size)
+        self.weight_decay = float(training_cfg.get("weight_decay", 0.05))
+        self.warmup_epochs = int(training_cfg.get("warmup_epochs", 20))
+        self.total_epochs = int(training_cfg.get("total_epochs", 200))
+        self.grad_clip = 1.0
+        # `augment` defaults ON (correct per-split transforms); pass False to
+        # reproduce the reference's effective no-augmentation (quirk Q1).
+        if augment is None:
+            augment = bool(training_cfg.get("augment", True))
+        self.augment = augment
+        self.image_size = self.model.image_size
+        self.sequence_length = self.model.sequence_length
+
+    def epoch_context(self, epoch: int):
+        ratio = mask_ratio_at_epoch(
+            epoch, self.mask_start, self.mask_end, self.ramp_epochs
+        )
+        return num_masked_tokens(self.sequence_length, ratio)
+
+    def host_epoch_metrics(self, epoch: int) -> Dict[str, float]:
+        return {
+            "mask_ratio": mask_ratio_at_epoch(
+                epoch, self.mask_start, self.mask_end, self.ramp_epochs
+            )
+        }
+
+    def init_params(self, rng):
+        dummy = jnp.zeros((1, self.image_size, self.image_size, self.model.in_chans))
+        n_mask = num_masked_tokens(self.sequence_length, self.mask_end)
+        idx_keep, idx_mask = random_token_mask(
+            rng, 1, self.sequence_length, n_mask
+        )
+        return jax.jit(self.model.init)(rng, dummy, idx_keep, idx_mask)["params"]
+
+    def loss_and_metric_sums(self, params, images, batch, rng, ctx):
+        n_mask = int(ctx)
+        B = images.shape[0]
+        idx_keep, idx_mask = random_token_mask(
+            rng, B, self.sequence_length, n_mask
+        )
+        pred, target = self.model.apply(
+            {"params": params}, images, idx_keep, idx_mask
+        )
+        per_ex = jnp.mean(
+            (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2,
+            axis=(1, 2),
+        )
+        w = batch["weight"]
+        loss_sum, weight_sum = _weighted(per_ex, w)
+        loss = loss_sum / jnp.maximum(weight_sum, 1.0)
+        return loss, {"loss_sum": loss_sum, "weight_sum": weight_sum}
+
+    @staticmethod
+    def epoch_metrics_from_sums(sums: Dict[str, float], prefix: str) -> Dict[str, float]:
+        w = max(sums.get("weight_sum", 0.0), 1e-9)
+        return {f"{prefix}_loss": sums.get("loss_sum", 0.0) / w}

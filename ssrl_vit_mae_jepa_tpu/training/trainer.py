@@ -1,0 +1,231 @@
+"""Training engine: epoch loops, sharded steps, checkpoints, logging.
+
+The TPU-native replacement for ``pytorch_lightning.Trainer`` as the reference
+uses it (``scripts/training/pretrain_mae.py:116-128``): fit/test loops,
+bf16 compute policy (owned by the models), grad-clip (owned by the
+optimizer), epoch-interval LR (inside the jitted step), best/last/periodic
+checkpointing, metric logging, and resume.
+
+Scaling: one ``jax.sharding.Mesh``; batches are sharded over the ``data``
+axis, train state is replicated (or tensor-parallel via ``parallel.mesh``
+rules), and XLA inserts the gradient all-reduce over ICI. The same code path
+runs single-chip (mesh of 1).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ssrl_vit_mae_jepa_tpu.data.pipeline import HostLoader, device_prefetch
+from ssrl_vit_mae_jepa_tpu.parallel.mesh import get_mesh, param_shardings
+from ssrl_vit_mae_jepa_tpu.training.state import TrainState
+from ssrl_vit_mae_jepa_tpu.training.tasks import Task
+from ssrl_vit_mae_jepa_tpu.utils.checkpoint import (
+    CheckpointCallbacks,
+    load_checkpoint,
+    save_checkpoint,
+)
+from ssrl_vit_mae_jepa_tpu.utils.metrics_logger import MetricsLogger
+
+EVAL_RNG_SEED = 4242
+
+
+class Trainer:
+    def __init__(
+        self,
+        task: Task,
+        max_epochs: int,
+        output_dir: str | Path,
+        mesh: Optional[Mesh] = None,
+        seed: int = 73,
+        monitor: Optional[str] = None,
+        monitor_mode: Optional[str] = None,
+        periodic_ckpt_every: Optional[int] = None,
+        log_every_n_steps: int = 2,
+        enable_checkpointing: bool = True,
+        hyper_parameters: Optional[Dict[str, Any]] = None,
+    ):
+        self.task = task
+        self.max_epochs = max_epochs
+        self.output_dir = Path(output_dir)
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.seed = seed
+        self.log_every_n_steps = log_every_n_steps
+        self.logger = MetricsLogger(self.output_dir)
+        self.hyper_parameters = hyper_parameters or {}
+        self.enable_checkpointing = enable_checkpointing
+        self.callbacks = (
+            CheckpointCallbacks(
+                self.output_dir / "checkpoints",
+                monitor=monitor or task.monitor,
+                mode=monitor_mode or task.monitor_mode,
+                periodic_every=periodic_ckpt_every,
+            )
+            if enable_checkpointing
+            else None
+        )
+        self.state: Optional[TrainState] = None
+        self.global_step = 0
+
+    # ------------------------------------------------------------------
+    def _batch_shardings(self):
+        s = NamedSharding(self.mesh, P("data"))
+        return {"image": s, "label": s, "weight": s}
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        shardings = param_shardings(state, self.mesh)
+        return jax.device_put(state, shardings)
+
+    def init_state(self, init_params_override=None) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        state = self.task.init_state(rng, init_params_override)
+        self.state = self._place_state(state)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        train_loader: HostLoader,
+        val_loader: Optional[HostLoader] = None,
+        resume_from: Optional[str | Path] = None,
+        init_params_override=None,
+    ) -> Dict[str, float]:
+        n_data = self.mesh.shape.get("data", 1)
+        if train_loader.batch_size % n_data:
+            raise ValueError(
+                f"batch_size {train_loader.batch_size} not divisible by "
+                f"data-parallel size {n_data}"
+            )
+        if self.state is None:
+            self.init_state(init_params_override)
+        start_epoch = 0
+        if resume_from is not None:
+            start_epoch = self._resume(resume_from)
+
+        batch_shardings = self._batch_shardings()
+        last_metrics: Dict[str, float] = {}
+        for epoch in range(start_epoch, self.max_epochs):
+            ctx = self.task.epoch_context(epoch)
+            host_metrics = self.task.host_epoch_metrics(epoch)
+            t0 = time.time()
+            sums = None
+            n_steps = 0
+            n_images = 0
+            for batch in device_prefetch(
+                train_loader.epoch(epoch), batch_shardings
+            ):
+                self.state, step_sums = self.task.train_step(
+                    self.state, batch, epoch, ctx
+                )
+                sums = (
+                    step_sums
+                    if sums is None
+                    else jax.tree.map(
+                        lambda a, b: a + b if a.ndim == 0 else b, sums, step_sums
+                    )
+                )
+                n_steps += 1
+                n_images += batch["image"].shape[0]
+                self.global_step += 1
+            # one host sync per epoch
+            sums = {} if sums is None else jax.device_get(sums)
+            dt = time.time() - t0
+            train_metrics = self.task.epoch_metrics_from_sums(sums, "train")
+            metrics = {**host_metrics, **train_metrics}
+            if "lr" in sums and n_steps:
+                metrics["lr"] = float(sums["lr"]) / n_steps  # constant per epoch
+            if val_loader is not None and len(val_loader) > 0:
+                metrics.update(
+                    self.evaluate(val_loader, prefix="val", epoch=epoch, ctx=ctx)
+                )
+            metrics["epoch_time_s"] = dt
+            metrics["images_per_s"] = n_images / max(dt, 1e-9)
+            self.logger.log(metrics, step=self.global_step, epoch=epoch)
+            shown = {
+                k: round(v, 5)
+                for k, v in metrics.items()
+                if k not in ("epoch_time_s", "images_per_s")
+            }
+            print(
+                f"Epoch {epoch}: {n_steps} steps, {dt:.1f}s, "
+                f"{metrics['images_per_s']:.0f} img/s — {shown}"
+            )
+            if self.callbacks is not None:
+                self.callbacks.on_epoch_end(
+                    epoch,
+                    metrics,
+                    self.state,
+                    meta_base={
+                        "global_step": self.global_step,
+                        "hyper_parameters": self.hyper_parameters,
+                    },
+                    weights_only_state={"params": self.state.params},
+                )
+            last_metrics = metrics
+        return last_metrics
+
+    # ------------------------------------------------------------------
+    def evaluate(
+        self,
+        loader: HostLoader,
+        prefix: str = "val",
+        epoch: int = 0,
+        ctx=None,
+        params=None,
+    ) -> Dict[str, float]:
+        if ctx is None:
+            ctx = self.task.epoch_context(epoch)
+        if params is None:
+            params = self.state.params
+        batch_shardings = self._batch_shardings()
+        sums = None
+        base_rng = jax.random.PRNGKey(EVAL_RNG_SEED)
+        for i, batch in enumerate(
+            device_prefetch(loader.epoch(0), batch_shardings)
+        ):
+            rng = jax.random.fold_in(base_rng, epoch * 100003 + i)
+            s = self.task.eval_step(params, batch, rng, ctx)
+            sums = s if sums is None else jax.tree.map(lambda a, b: a + b, sums, s)
+        sums = {} if sums is None else jax.device_get(sums)
+        return self.task.epoch_metrics_from_sums(sums, prefix)
+
+    def test(self, loader: HostLoader, params=None) -> Dict[str, float]:
+        """Reference ``trainer.test`` equivalent → {"test_loss", "test_acc"}."""
+        if params is None and self.state is None:
+            self.init_state()
+        return self.evaluate(loader, prefix="test", params=params)
+
+    # ------------------------------------------------------------------
+    def save(self, path: str | Path, meta: Optional[Dict[str, Any]] = None):
+        meta = dict(meta or {})
+        meta.setdefault("hyper_parameters", self.hyper_parameters)
+        return save_checkpoint(path, self.state, meta)
+
+    def _resume(self, path: str | Path) -> int:
+        target = self.state
+        state, meta = load_checkpoint(path, target=target)
+        self.state = self._place_state(state)
+        self.global_step = int(meta.get("global_step", 0))
+        if self.callbacks is not None:
+            cb = meta.get("callbacks", {})
+            self.callbacks.best_score = cb.get("best_model_score")
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        print(f"🔁 Resumed from {path} at epoch {start_epoch}")
+        return start_epoch
+
+    def load_params_into_state(self, params):
+        """Replace model params (keeping fresh optimizer state)."""
+        if self.state is None:
+            self.init_state()
+        opt_state = self.task.tx.init(params)
+        self.state = self._place_state(
+            self.state.replace(params=params, opt_state=opt_state)
+        )
+        return self.state

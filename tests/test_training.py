@@ -1,0 +1,232 @@
+"""Trainer/task tests: freeze policy, schedules-in-step, learning, resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ssrl_vit_mae_jepa_tpu.config import DEFAULTS, _deep_merge
+from ssrl_vit_mae_jepa_tpu.data.loaders import (
+    get_test_dataloader,
+    get_train_dataloaders,
+)
+from ssrl_vit_mae_jepa_tpu.data.pipeline import HostLoader
+from ssrl_vit_mae_jepa_tpu.data.stl10 import STL10
+from ssrl_vit_mae_jepa_tpu.parallel.mesh import get_mesh
+from ssrl_vit_mae_jepa_tpu.training.optim import count_trainable, trainable_mask
+from ssrl_vit_mae_jepa_tpu.training.tasks import ClassifierTask, MAETask
+from ssrl_vit_mae_jepa_tpu.training.trainer import Trainer
+
+SMALL_MODEL = {
+    "general": {"image_size": 96, "patch_size": 8, "in_chans": 3},
+    "encoder": {"embed_dim": 48, "depth": 2, "num_heads": 4},
+    "decoder": {"decoder_embed_dim": 48, "decoder_depth": 1, "decoder_num_heads": 4},
+    "head": {"pool": "cls"},
+}
+
+
+def small_cfg(**train_over):
+    cfg = _deep_merge(DEFAULTS, {"model": SMALL_MODEL})
+    cfg["train"].update(
+        {"batch_size": 16, "samples_per_class": 4, "total_epochs": 2,
+         "warmup_epochs": 1, "learning_rate": 1e-3, **train_over}
+    )
+    cfg["pretrain"].update(
+        {"batch_size": 16, "total_epochs": 2, "warmup_epochs": 1,
+         "mask_ratio_start": 0.75, "mask_ratio_end": 0.75, "val_split": 0.1,
+         "data_fraction": 1.0}
+    )
+    return cfg
+
+
+class TestFreezePolicy:
+    def _params(self):
+        task = ClassifierTask(SMALL_MODEL, {"freeze_encoder": False}, dtype=jnp.float32)
+        return task, task.init_params(jax.random.PRNGKey(0))
+
+    def test_freeze_encoder_only_head_trainable(self):
+        _, params = self._params()
+        mask = trainable_mask(params, freeze_encoder=True)
+        flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+        for path, trainable in flat:
+            s = "/".join(str(getattr(p, "key", p)) for p in path)
+            assert trainable == ("head" in s), s
+        n = count_trainable(params, mask)
+        assert n == 48 * 10 + 10  # single linear head
+
+    def test_unfreeze_last_layers(self):
+        _, params = self._params()
+        mask = trainable_mask(params, unfreeze_last_layers=1, depth=2)
+        flat = dict(
+            (
+                "/".join(str(getattr(p, "key", p)) for p in path),
+                t,
+            )
+            for path, t in jax.tree_util.tree_flatten_with_path(mask)[0]
+        )
+        assert flat["encoder/blocks_1/attn/qkv/kernel"]
+        assert not flat["encoder/blocks_0/attn/qkv/kernel"]
+        assert flat["encoder/norm/scale"]
+        assert not flat["encoder/blocks_0/norm1/scale"]
+        assert not flat["encoder/pos_embed"]
+        assert flat["head/classification/kernel"]
+
+    def test_unfreeze_bounds(self):
+        _, params = self._params()
+        with pytest.raises(ValueError):
+            trainable_mask(params, unfreeze_last_layers=5, depth=2)
+
+    def test_frozen_params_unchanged_after_step(self, synthetic_stl10_dir):
+        task = ClassifierTask(
+            SMALL_MODEL,
+            {"freeze_encoder": True, "learning_rate": 1e-2, "warmup_epochs": 1,
+             "total_epochs": 2},
+            dtype=jnp.float32,
+        )
+        state = task.init_state(jax.random.PRNGKey(0))
+        before = jax.device_get(state.params)
+        ds = STL10(synthetic_stl10_dir, "train")
+        batch = next(iter(HostLoader(ds, np.arange(16), 16, shuffle=False).epoch(0)))
+        state, _ = task.train_step(state, batch, 0, None)
+        after = jax.device_get(state.params)
+        np.testing.assert_array_equal(
+            before["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"],
+            after["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"],
+        )
+        assert not np.array_equal(
+            before["head"]["classification"]["kernel"],
+            after["head"]["classification"]["kernel"],
+        )
+
+
+class TestClassifierTraining:
+    def test_probe_learns_synthetic(self, synthetic_stl10_dir, tmp_path):
+        """Minimum end-to-end slice: frozen linear probe on synthetic STL-10
+        must beat chance by a wide margin (class-correlated colors)."""
+        cfg = small_cfg(
+            freeze_encoder=True, total_epochs=8, learning_rate=5e-3,
+            warmup_epochs=2,
+        )
+        train, val = get_train_dataloaders(cfg, data_dir=synthetic_stl10_dir)
+        task = ClassifierTask(cfg["model"], cfg["train"], dtype=jnp.float32)
+        trainer = Trainer(
+            task, max_epochs=8, output_dir=tmp_path / "out",
+            enable_checkpointing=True,
+        )
+        metrics = trainer.fit(train, val)
+        assert metrics["train_acc"] > 0.3, metrics
+        assert (tmp_path / "out/checkpoints/best.ckpt").exists()
+        assert (tmp_path / "out/checkpoints/last.ckpt").exists()
+
+    def test_test_split_evaluation(self, synthetic_stl10_dir, tmp_path):
+        cfg = small_cfg(freeze_encoder=True)
+        task = ClassifierTask(cfg["model"], cfg["train"], dtype=jnp.float32)
+        trainer = Trainer(task, 1, tmp_path / "o", enable_checkpointing=False)
+        trainer.init_state()
+        te = get_test_dataloader(cfg, data_dir=synthetic_stl10_dir)
+        m = trainer.test(te)
+        assert "test_acc" in m and "test_loss" in m
+        assert 0.0 <= m["test_acc"] <= 1.0
+
+
+class TestMAETraining:
+    def test_loss_decreases(self, synthetic_stl10_dir, tmp_path):
+        cfg = small_cfg()
+        cfg["pretrain"]["base_learning_rate"] = 2e-3
+        ds = STL10(synthetic_stl10_dir, "unlabeled")
+        train = HostLoader(ds, np.arange(96), 16, shuffle=True, seed=73)
+        val = HostLoader(ds, np.arange(96, 128), 16, shuffle=False)
+        task = MAETask(cfg["model"], cfg["pretrain"], dtype=jnp.float32)
+        trainer = Trainer(
+            task, max_epochs=4, output_dir=tmp_path / "pre",
+            enable_checkpointing=False,
+        )
+        trainer.init_state()
+        m0 = trainer.evaluate(val, prefix="val", epoch=0)
+        metrics = trainer.fit(train, val)
+        assert metrics["val_loss"] < m0["val_loss"], (m0, metrics)
+
+    def test_mask_ramp_changes_context(self):
+        cfg = small_cfg()
+        cfg["pretrain"].update(
+            {"mask_ratio_start": 0.5, "mask_ratio_end": 0.85, "mask_ramp_epochs": 5}
+        )
+        task = MAETask(cfg["model"], cfg["pretrain"], dtype=jnp.float32)
+        assert task.epoch_context(0) == int(0.5 * 144)
+        assert task.epoch_context(4) == int(0.85 * 144)
+        assert task.host_epoch_metrics(2)["mask_ratio"] == pytest.approx(0.675)
+
+
+class TestResume:
+    def test_checkpoint_resume_roundtrip(self, synthetic_stl10_dir, tmp_path):
+        cfg = small_cfg(freeze_encoder=True, total_epochs=4)
+        train, val = get_train_dataloaders(cfg, data_dir=synthetic_stl10_dir)
+
+        task = ClassifierTask(cfg["model"], cfg["train"], dtype=jnp.float32)
+        t1 = Trainer(task, 2, tmp_path / "a", seed=73)
+        t1.fit(train, val)
+        last = tmp_path / "a/checkpoints/last.ckpt"
+        assert last.exists()
+
+        task2 = ClassifierTask(cfg["model"], cfg["train"], dtype=jnp.float32)
+        t2 = Trainer(task2, 4, tmp_path / "b", seed=73)
+        t2.init_state()
+        start = t2._resume(last)
+        assert start == 2
+        # resumed params identical to saved ones
+        p1 = jax.device_get(t1.state.params)
+        p2 = jax.device_get(t2.state.params)
+        jax.tree.map(np.testing.assert_array_equal, p1, p2)
+        t2.fit(train, val, resume_from=last)
+
+
+class TestMultiDevice:
+    def test_dp_training_on_8_device_mesh(self, synthetic_stl10_dir, tmp_path):
+        """Data-parallel step over the virtual 8-device CPU mesh."""
+        assert jax.device_count() == 8
+        mesh = get_mesh()
+        assert mesh.shape == {"data": 8, "model": 1}
+        cfg = small_cfg(freeze_encoder=False)
+        train, val = get_train_dataloaders(cfg, data_dir=synthetic_stl10_dir)
+        task = ClassifierTask(cfg["model"], cfg["train"], dtype=jnp.float32)
+        trainer = Trainer(
+            task, 1, tmp_path / "dp", mesh=mesh, enable_checkpointing=False
+        )
+        metrics = trainer.fit(train, val)
+        assert "train_loss" in metrics and np.isfinite(metrics["train_loss"])
+
+    def test_dp_matches_single_device(self, synthetic_stl10_dir, tmp_path):
+        """One DP step must produce (numerically) the same params as 1-device."""
+        cfg = small_cfg(freeze_encoder=True, learning_rate=1e-3)
+        ds = STL10(synthetic_stl10_dir, "train")
+        loader = HostLoader(ds, np.arange(16), 16, shuffle=False)
+
+        def one_step(mesh):
+            task = ClassifierTask(cfg["model"], cfg["train"], dtype=jnp.float32)
+            tr = Trainer(
+                task, 1, tmp_path / f"m{mesh.shape['data']}", mesh=mesh,
+                seed=73, enable_checkpointing=False,
+            )
+            tr.fit(loader, None)
+            return jax.device_get(tr.state.params)
+
+        p8 = one_step(get_mesh())
+        p1 = one_step(get_mesh(num_devices=1))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5), p8, p1
+        )
+
+    def test_tp_mesh_runs(self, synthetic_stl10_dir, tmp_path):
+        """Tensor-parallel param sharding (model axis) compiles and runs."""
+        mesh = get_mesh(model_parallel=2)
+        assert mesh.shape == {"data": 4, "model": 2}
+        cfg = small_cfg(freeze_encoder=False)
+        ds = STL10(synthetic_stl10_dir, "train")
+        loader = HostLoader(ds, np.arange(32), 16, shuffle=False)
+        task = ClassifierTask(cfg["model"], cfg["train"], dtype=jnp.float32)
+        trainer = Trainer(
+            task, 1, tmp_path / "tp", mesh=mesh, enable_checkpointing=False
+        )
+        metrics = trainer.fit(loader, None)
+        assert np.isfinite(metrics["train_loss"])
