@@ -1,0 +1,275 @@
+"""Torch checkpoint ⇄ JAX pytree converters.
+
+Gates the parity claim (SURVEY.md §7 hard-part 1): reference checkpoints are
+Lightning ``.ckpt`` / raw ``.pt`` state dicts with timm/lightly parameter
+names; this module maps them onto our flax param trees and back.
+
+Name contracts converted here:
+- timm ``VisionTransformer`` (``cls_token``, ``pos_embed``,
+  ``patch_embed.proj.{weight,bias}``, ``blocks.{i}.{norm1,attn.qkv,
+  attn.proj,norm2,mlp.fc1,mlp.fc2}``, ``norm``) — reference
+  ``src/models/mae.py:28-36``,
+- lightly ``MaskedVisionTransformerTIMM`` (adds a ``vit.`` prefix and an
+  encoder-side ``mask_token`` we ignore) — ``src/models/mae.py:38``,
+- lightly ``MAEDecoderTIMM`` (``decoder_embed``, ``mask_token``,
+  ``decoder_pos_embed``, ``decoder_blocks.{i}``, ``decoder_norm``,
+  ``decoder_pred``) — ``src/models/mae.py:45-52``,
+- ``ViTClassifier`` (``encoder.*`` + ``head.classification.*``) —
+  ``src/models/classifier.py:25-57``.
+
+Weight-layout transforms: torch Linear stores (out, in) → flax kernel is the
+transpose; torch conv patch-embed (D, C, p, p) flattens (C-major) to the
+kernel of our patchify-matmul embedding, whose patch layout is CHW-within-
+patch by construction (``ops.patches``).
+
+``torch.load`` is used when available (torch-cpu is in the image); loading
+raises a clear error otherwise.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+ENCODER_PREFIXES = ["model.encoder.", "encoder.", "module.encoder."]
+
+
+def load_torch_state_dict(path: str | Path) -> Dict[str, np.ndarray]:
+    """Load a torch ``.pt``/``.ckpt`` → flat {name: np.ndarray}.
+
+    Unwraps Lightning's ``state_dict`` key (reference
+    ``scripts/training/train_mae.py:103``).
+    """
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "loading torch checkpoints requires torch (cpu) to be installed"
+        ) from e
+    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    state = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    out = {}
+    for k, v in state.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().cpu().float().numpy()
+        else:
+            out[k] = np.asarray(v)
+    return out
+
+
+def detect_prefix(
+    keys: Iterable[str], candidates: List[str] = ENCODER_PREFIXES
+) -> Optional[str]:
+    """First candidate prefix present among keys (reference
+    ``train_mae.py:106-124``)."""
+    keys = list(keys)
+    for p in candidates:
+        if any(k.startswith(p) for k in keys):
+            return p
+    return None
+
+
+def strip_prefix(state: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+
+
+# ---------------------------------------------------------------------------
+# timm ViT → flax params
+# ---------------------------------------------------------------------------
+
+def _set(tree: dict, path: List[str], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _block_entries(i: int, torch_prefix: str, flax_name: str):
+    """(torch key suffix → flax path) for one transformer block."""
+    tb = f"{torch_prefix}.{i}."
+    fb = [flax_name]
+    return [
+        (tb + "norm1.weight", fb + ["norm1", "scale"], None),
+        (tb + "norm1.bias", fb + ["norm1", "bias"], None),
+        (tb + "attn.qkv.weight", fb + ["attn", "qkv", "kernel"], "T"),
+        (tb + "attn.qkv.bias", fb + ["attn", "qkv", "bias"], None),
+        (tb + "attn.proj.weight", fb + ["attn", "proj", "kernel"], "T"),
+        (tb + "attn.proj.bias", fb + ["attn", "proj", "bias"], None),
+        (tb + "norm2.weight", fb + ["norm2", "scale"], None),
+        (tb + "norm2.bias", fb + ["norm2", "bias"], None),
+        (tb + "mlp.fc1.weight", fb + ["mlp", "fc1", "kernel"], "T"),
+        (tb + "mlp.fc1.bias", fb + ["mlp", "fc1", "bias"], None),
+        (tb + "mlp.fc2.weight", fb + ["mlp", "fc2", "kernel"], "T"),
+        (tb + "mlp.fc2.bias", fb + ["mlp", "fc2", "bias"], None),
+    ]
+
+
+def _apply_entries(state, entries, tree, used):
+    missing = []
+    for torch_key, flax_path, tform in entries:
+        if torch_key not in state:
+            missing.append(torch_key)
+            continue
+        v = state[torch_key]
+        if tform == "T":
+            v = np.ascontiguousarray(v.T)
+        elif tform == "patch":
+            v = np.ascontiguousarray(v.reshape(v.shape[0], -1).T)
+        _set(tree, flax_path, v)
+        used.add(torch_key)
+    return missing
+
+
+def timm_vit_to_params(
+    state: Dict[str, np.ndarray], depth: int
+) -> Tuple[dict, dict]:
+    """timm ViT state dict → flax ViT params. Accepts an optional ``vit.``
+    prefix (lightly wrapper). Returns (params, report{missing, unexpected})."""
+    if detect_prefix(state, ["vit."]):
+        state = {
+            k[len("vit."):] if k.startswith("vit.") else k: v
+            for k, v in state.items()
+        }
+    entries = [
+        ("cls_token", ["cls_token"], None),
+        ("pos_embed", ["pos_embed"], None),
+        ("patch_embed.proj.weight", ["patch_embed", "kernel"], "patch"),
+        ("patch_embed.proj.bias", ["patch_embed", "bias"], None),
+        ("norm.weight", ["norm", "scale"], None),
+        ("norm.bias", ["norm", "bias"], None),
+    ]
+    for i in range(depth):
+        entries += _block_entries(i, "blocks", f"blocks_{i}")
+    tree: dict = {}
+    used: set = set()
+    missing = _apply_entries(state, entries, tree, used)
+    unexpected = sorted(set(state) - used)
+    return tree, {"missing": missing, "unexpected": unexpected}
+
+
+def lightly_decoder_to_params(
+    state: Dict[str, np.ndarray], depth: int
+) -> Tuple[dict, dict]:
+    """lightly MAEDecoderTIMM state dict → flax MAEDecoder params."""
+    entries = [
+        ("decoder_embed.weight", ["decoder_embed", "kernel"], "T"),
+        ("decoder_embed.bias", ["decoder_embed", "bias"], None),
+        ("mask_token", ["mask_token"], None),
+        ("decoder_pos_embed", ["decoder_pos_embed"], None),
+        ("decoder_norm.weight", ["decoder_norm", "scale"], None),
+        ("decoder_norm.bias", ["decoder_norm", "bias"], None),
+        ("decoder_pred.weight", ["decoder_pred", "kernel"], "T"),
+        ("decoder_pred.bias", ["decoder_pred", "bias"], None),
+    ]
+    for i in range(depth):
+        entries += _block_entries(i, "decoder_blocks", f"decoder_blocks_{i}")
+    tree: dict = {}
+    used: set = set()
+    missing = _apply_entries(state, entries, tree, used)
+    unexpected = sorted(set(state) - used)
+    return tree, {"missing": missing, "unexpected": unexpected}
+
+
+def mae_state_to_params(
+    state: Dict[str, np.ndarray], depth: int, decoder_depth: int
+) -> Tuple[dict, dict]:
+    """Full MAE state dict (``encoder.*`` + ``decoder.*``, possibly under a
+    ``model.`` Lightning prefix) → MaskedAutoencoder params."""
+    if detect_prefix(state, ["model."]):
+        state = strip_prefix(state, "model.")
+    enc_state = strip_prefix(state, "encoder.")
+    dec_state = strip_prefix(state, "decoder.")
+    enc, enc_rep = timm_vit_to_params(enc_state, depth)
+    dec, dec_rep = lightly_decoder_to_params(dec_state, decoder_depth)
+    report = {
+        "missing": enc_rep["missing"] + dec_rep["missing"],
+        "unexpected": enc_rep["unexpected"] + dec_rep["unexpected"],
+    }
+    return {"encoder": enc, "decoder": dec}, report
+
+
+def classifier_state_to_params(
+    state: Dict[str, np.ndarray], depth: int
+) -> Tuple[dict, dict]:
+    """ViTClassifier state dict (``encoder.*`` timm + ``head.classification.*``,
+    possibly under ``model.``) → ViTClassifier params."""
+    if detect_prefix(state, ["model."]):
+        state = strip_prefix(state, "model.")
+    enc, rep = timm_vit_to_params(strip_prefix(state, "encoder."), depth)
+    tree = {"encoder": enc}
+    used_head = []
+    if "head.classification.weight" in state:
+        _set(tree, ["head", "classification", "kernel"],
+             np.ascontiguousarray(state["head.classification.weight"].T))
+        used_head.append("head.classification.weight")
+    else:
+        rep["missing"].append("head.classification.weight")
+    if "head.classification.bias" in state:
+        _set(tree, ["head", "classification", "bias"],
+             state["head.classification.bias"])
+        used_head.append("head.classification.bias")
+    else:
+        rep["missing"].append("head.classification.bias")
+    return tree, rep
+
+
+# ---------------------------------------------------------------------------
+# flax params → reference-style (torch-named) state dicts
+# ---------------------------------------------------------------------------
+
+def _flatten(tree: dict, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}/{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def vit_params_to_timm_state(params: dict) -> Dict[str, np.ndarray]:
+    """Inverse mapping (export): flax ViT params → timm-named state dict."""
+    flat = _flatten(params)
+    out: Dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        if parts[0] == "cls_token":
+            out["cls_token"] = v
+        elif parts[0] == "pos_embed":
+            out["pos_embed"] = v
+        elif parts[0] == "patch_embed":
+            if parts[1] == "kernel":
+                D = v.shape[1]
+                # (p*p*C, D) → (D, C, p, p); C-major flatten inverse
+                C = 3
+                p2 = v.shape[0] // C
+                p = int(round(p2**0.5))
+                out["patch_embed.proj.weight"] = np.ascontiguousarray(
+                    v.T.reshape(D, C, p, p)
+                )
+            else:
+                out["patch_embed.proj.bias"] = v
+        elif parts[0] == "norm":
+            out["norm." + ("weight" if parts[1] == "scale" else "bias")] = v
+        elif parts[0].startswith("blocks_"):
+            i = parts[0].split("_")[1]
+            sub = parts[1]
+            if sub in ("norm1", "norm2"):
+                nm = "weight" if parts[2] == "scale" else "bias"
+                out[f"blocks.{i}.{sub}.{nm}"] = v
+            elif sub == "attn":
+                layer = parts[2]
+                if parts[3] == "kernel":
+                    out[f"blocks.{i}.attn.{layer}.weight"] = np.ascontiguousarray(v.T)
+                else:
+                    out[f"blocks.{i}.attn.{layer}.bias"] = v
+            elif sub == "mlp":
+                layer = parts[2]
+                if parts[3] == "kernel":
+                    out[f"blocks.{i}.mlp.{layer}.weight"] = np.ascontiguousarray(v.T)
+                else:
+                    out[f"blocks.{i}.mlp.{layer}.bias"] = v
+    return out

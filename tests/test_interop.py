@@ -1,0 +1,247 @@
+"""Torch-checkpoint converter tests, incl. numerical forward parity.
+
+The golden parity test builds an INDEPENDENT torch implementation of the
+timm ViT contract (pre-LN blocks, exact GELU, LN eps 1e-6, conv patch-embed)
+directly from a synthetic timm-named state dict, and checks our flax model
+with converted params produces the same features — validating both the name
+mapping and the model semantics.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from ssrl_vit_mae_jepa_tpu.models import classifier_from_config, mae_from_config, vit_from_config
+from ssrl_vit_mae_jepa_tpu.utils import torch_interop as ti
+from ssrl_vit_mae_jepa_tpu.utils.checkpoint import (
+    is_native_checkpoint,
+    is_torch_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from ssrl_vit_mae_jepa_tpu.utils.load import (
+    classifier_params_from_checkpoint,
+    encoder_params_from_checkpoint,
+    mae_params_from_checkpoint,
+)
+
+D, DEPTH, HEADS, P, IMG = 48, 2, 4, 8, 32  # tiny: 16 patches + CLS = 17 tokens
+MODEL_CFG = {
+    "general": {"image_size": IMG, "patch_size": P, "in_chans": 3},
+    "encoder": {"embed_dim": D, "depth": DEPTH, "num_heads": HEADS},
+    "decoder": {"decoder_embed_dim": 40, "decoder_depth": 1, "decoder_num_heads": 4},
+    "head": {"pool": "cls"},
+}
+
+
+def make_timm_state(rng, prefix=""):
+    """Synthetic timm-ViT-named state dict (torch layouts)."""
+    r = np.random.default_rng(rng)
+    n_tok = (IMG // P) ** 2 + 1
+    s = {
+        "cls_token": r.normal(0, 0.02, (1, 1, D)),
+        "pos_embed": r.normal(0, 0.02, (1, n_tok, D)),
+        "patch_embed.proj.weight": r.normal(0, 0.05, (D, 3, P, P)),
+        "patch_embed.proj.bias": r.normal(0, 0.02, (D,)),
+        "norm.weight": r.normal(1, 0.02, (D,)),
+        "norm.bias": r.normal(0, 0.02, (D,)),
+    }
+    for i in range(DEPTH):
+        b = f"blocks.{i}."
+        s.update({
+            b + "norm1.weight": r.normal(1, 0.02, (D,)),
+            b + "norm1.bias": r.normal(0, 0.02, (D,)),
+            b + "attn.qkv.weight": r.normal(0, 0.05, (3 * D, D)),
+            b + "attn.qkv.bias": r.normal(0, 0.02, (3 * D,)),
+            b + "attn.proj.weight": r.normal(0, 0.05, (D, D)),
+            b + "attn.proj.bias": r.normal(0, 0.02, (D,)),
+            b + "norm2.weight": r.normal(1, 0.02, (D,)),
+            b + "norm2.bias": r.normal(0, 0.02, (D,)),
+            b + "mlp.fc1.weight": r.normal(0, 0.05, (4 * D, D)),
+            b + "mlp.fc1.bias": r.normal(0, 0.02, (4 * D,)),
+            b + "mlp.fc2.weight": r.normal(0, 0.05, (D, 4 * D)),
+            b + "mlp.fc2.bias": r.normal(0, 0.02, (D,)),
+        })
+    return {prefix + k: v.astype(np.float32) for k, v in s.items()}
+
+
+def torch_vit_forward_features(state, x_nchw):
+    """Independent torch implementation of the timm forward_features contract."""
+    t = {k: torch.from_numpy(v) for k, v in state.items()}
+    x = torch.from_numpy(x_nchw)
+    B = x.shape[0]
+    x = torch.nn.functional.conv2d(
+        x, t["patch_embed.proj.weight"], t["patch_embed.proj.bias"], stride=P
+    )  # (B, D, g, g)
+    x = x.flatten(2).transpose(1, 2)  # (B, N, D) row-major patches
+    cls = t["cls_token"].expand(B, -1, -1)
+    x = torch.cat([cls, x], dim=1) + t["pos_embed"]
+
+    def ln(v, w, b):
+        return torch.nn.functional.layer_norm(v, (D,), w, b, eps=1e-6)
+
+    for i in range(DEPTH):
+        b = f"blocks.{i}."
+        y = ln(x, t[b + "norm1.weight"], t[b + "norm1.bias"])
+        qkv = y @ t[b + "attn.qkv.weight"].T + t[b + "attn.qkv.bias"]
+        L = y.shape[1]
+        hd = D // HEADS
+        qkv = qkv.reshape(B, L, 3, HEADS, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        att = torch.softmax(q @ k.transpose(-2, -1) / hd**0.5, dim=-1)
+        o = (att @ v).transpose(1, 2).reshape(B, L, D)
+        x = x + o @ t[b + "attn.proj.weight"].T + t[b + "attn.proj.bias"]
+        y = ln(x, t[b + "norm2.weight"], t[b + "norm2.bias"])
+        h = y @ t[b + "mlp.fc1.weight"].T + t[b + "mlp.fc1.bias"]
+        h = torch.nn.functional.gelu(h)  # exact
+        x = x + h @ t[b + "mlp.fc2.weight"].T + t[b + "mlp.fc2.bias"]
+    x = ln(x, t["norm.weight"], t["norm.bias"])
+    return x.numpy()
+
+
+class TestConverter:
+    def test_forward_parity_with_torch_golden(self):
+        state = make_timm_state(0)
+        params, report = ti.timm_vit_to_params(state, DEPTH)
+        assert not report["missing"] and not report["unexpected"], report
+        vit = vit_from_config(MODEL_CFG, dtype=jnp.float32, attn_impl="xla")
+        x = np.random.default_rng(1).normal(0, 1, (2, 3, IMG, IMG)).astype(np.float32)
+        golden = torch_vit_forward_features(state, x)
+        ours = vit.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(ours), golden, atol=2e-4)
+
+    def test_vit_prefix_accepted(self):
+        state = make_timm_state(0, prefix="vit.")
+        params, report = ti.timm_vit_to_params(state, DEPTH)
+        assert not report["missing"], report["missing"]
+
+    def test_export_roundtrip(self, rng):
+        vit = vit_from_config(MODEL_CFG, dtype=jnp.float32)
+        params = vit.init(rng, jnp.zeros((1, IMG, IMG, 3)))["params"]
+        state = ti.vit_params_to_timm_state(jax.device_get(params))
+        back, report = ti.timm_vit_to_params(state, DEPTH)
+        assert not report["missing"] and not report["unexpected"], report
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), b, rtol=1e-6),
+            params, back,
+        )
+
+    def test_prefix_detection(self):
+        keys = ["model.encoder.vit.cls_token", "model.decoder.mask_token"]
+        assert ti.detect_prefix(keys) == "model.encoder."
+        assert ti.detect_prefix(["encoder.cls_token"]) == "encoder."
+        assert ti.detect_prefix(["module.encoder.x"]) == "module.encoder."
+        assert ti.detect_prefix(["foo.bar"]) is None
+
+
+class TestCheckpointRouting:
+    def test_torch_file_loading_via_every_prefix(self, tmp_path, rng):
+        """encoder_params_from_checkpoint over real torch files with each of
+        the reference's three prefixes (train_mae.py:104-124)."""
+        state = make_timm_state(3, prefix="vit.")
+        for prefix in ["model.encoder.", "encoder.", "module.encoder."]:
+            path = tmp_path / f"{prefix.replace('.', '_')}.pt"
+            torch.save(
+                {k if prefix == "" else prefix + k: torch.from_numpy(v)
+                 for k, v in state.items()},
+                path,
+            )
+            assert is_torch_checkpoint(path)
+            params, report = encoder_params_from_checkpoint(path, DEPTH)
+            assert not report["missing"], (prefix, report["missing"])
+            np.testing.assert_allclose(
+                np.asarray(params["cls_token"]), state["vit.cls_token"]
+            )
+
+    def test_lightning_style_state_dict_key(self, tmp_path):
+        inner = {
+            "model.encoder.vit." + k if not k.startswith("blocks") else
+            "model.encoder.vit." + k: torch.from_numpy(v)
+            for k, v in make_timm_state(4).items()
+        }
+        torch.save({"state_dict": inner, "epoch": 7}, tmp_path / "l.ckpt")
+        params, report = encoder_params_from_checkpoint(tmp_path / "l.ckpt", DEPTH)
+        assert not report["missing"]
+
+    def test_native_checkpoint_roundtrip_and_detection(self, tmp_path, rng):
+        mae = mae_from_config(MODEL_CFG, dtype=jnp.float32)
+        from ssrl_vit_mae_jepa_tpu.ops.masking import random_token_mask
+
+        idx_keep, idx_mask = random_token_mask(rng, 1, 17, 12)
+        params = mae.init(rng, jnp.zeros((1, IMG, IMG, 3)), idx_keep, idx_mask)[
+            "params"
+        ]
+        p = tmp_path / "best.ckpt"
+        save_checkpoint(p, {"params": params}, {"epoch": 3})
+        assert is_native_checkpoint(p)
+        assert not is_torch_checkpoint(p)
+        loaded, meta = load_checkpoint(p)
+        assert meta["epoch"] == 3
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+            jax.device_get(params), loaded["params"],
+        )
+        enc, _ = encoder_params_from_checkpoint(p, DEPTH)
+        assert "cls_token" in enc
+        full, _ = mae_params_from_checkpoint(p, DEPTH, 1)
+        assert "decoder" in full
+
+    def test_classifier_from_torch_state(self, tmp_path):
+        state = {"model.encoder." + k: v for k, v in make_timm_state(5).items()}
+        state["model.head.classification.weight"] = np.random.default_rng(6).normal(
+            0, 0.02, (10, D)
+        ).astype(np.float32)
+        state["model.head.classification.bias"] = np.zeros(10, np.float32)
+        torch.save({k: torch.from_numpy(v) for k, v in state.items()},
+                   tmp_path / "c.pt")
+        params, report, _ = classifier_params_from_checkpoint(tmp_path / "c.pt", DEPTH)
+        assert not report["missing"], report["missing"]
+        clf = classifier_from_config(MODEL_CFG, dtype=jnp.float32)
+        x = jnp.zeros((2, IMG, IMG, 3))
+        logits = clf.apply({"params": params}, x)
+        assert logits.shape == (2, 10)
+
+    def test_mae_state_from_torch(self, tmp_path):
+        """Full MAE state dict with encoder.vit.* + decoder.* keys."""
+        r = np.random.default_rng(7)
+        dd = 40
+        dec = {
+            "decoder.decoder_embed.weight": r.normal(0, 0.05, (dd, D)),
+            "decoder.decoder_embed.bias": np.zeros(dd),
+            "decoder.mask_token": r.normal(0, 0.02, (1, 1, dd)),
+            "decoder.decoder_pos_embed": r.normal(0, 0.02, (1, 17, dd)),
+            "decoder.decoder_norm.weight": np.ones(dd),
+            "decoder.decoder_norm.bias": np.zeros(dd),
+            "decoder.decoder_pred.weight": r.normal(0, 0.05, (P * P * 3, dd)),
+            "decoder.decoder_pred.bias": np.zeros(P * P * 3),
+        }
+        b = "decoder.decoder_blocks.0."
+        dec.update({
+            b + "norm1.weight": np.ones(dd), b + "norm1.bias": np.zeros(dd),
+            b + "attn.qkv.weight": r.normal(0, 0.05, (3 * dd, dd)),
+            b + "attn.qkv.bias": np.zeros(3 * dd),
+            b + "attn.proj.weight": r.normal(0, 0.05, (dd, dd)),
+            b + "attn.proj.bias": np.zeros(dd),
+            b + "norm2.weight": np.ones(dd), b + "norm2.bias": np.zeros(dd),
+            b + "mlp.fc1.weight": r.normal(0, 0.05, (4 * dd, dd)),
+            b + "mlp.fc1.bias": np.zeros(4 * dd),
+            b + "mlp.fc2.weight": r.normal(0, 0.05, (dd, 4 * dd)),
+            b + "mlp.fc2.bias": np.zeros(dd),
+        })
+        enc = {"encoder.vit." + k: v for k, v in make_timm_state(8).items()}
+        state = {k: v.astype(np.float32) for k, v in {**enc, **dec}.items()}
+        torch.save({k: torch.from_numpy(v) for k, v in state.items()},
+                   tmp_path / "vit-mae.pt")
+        params, report = mae_params_from_checkpoint(tmp_path / "vit-mae.pt", DEPTH, 1)
+        assert not report["missing"], report["missing"]
+        mae = mae_from_config(MODEL_CFG, dtype=jnp.float32)
+        from ssrl_vit_mae_jepa_tpu.ops.masking import random_token_mask
+
+        idx_keep, idx_mask = random_token_mask(jax.random.PRNGKey(0), 2, 17, 12)
+        x = jnp.asarray(r.normal(0, 1, (2, IMG, IMG, 3)).astype(np.float32))
+        pred, target = mae.apply({"params": params}, x, idx_keep, idx_mask)
+        assert pred.shape == (2, 12, P * P * 3)
