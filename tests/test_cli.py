@@ -1,0 +1,168 @@
+"""End-to-end CLI tests: pretrain → fine-tune (encoder_ckpt) → evaluate.
+
+Runs the actual ``python -m scripts.*`` entry points in subprocesses against
+a synthetic STL-10 dataset — the same chaining the ablation drivers use.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+import yaml
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def run_cli(module, *argv, env_extra=None, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env.update(env_extra or {})
+    proc = subprocess.run(
+        [sys.executable, "-m", module, *argv],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
+    )
+    if proc.returncode != 0:
+        raise AssertionError(
+            f"{module} failed\nSTDOUT:\n{proc.stdout[-4000:]}\n"
+            f"STDERR:\n{proc.stderr[-4000:]}"
+        )
+    return proc.stdout
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    from ssrl_vit_mae_jepa_tpu.data.stl10 import write_synthetic_stl10
+
+    root = tmp_path_factory.mktemp("cli")
+    data = root / "data"
+    write_synthetic_stl10(data, num_train=60, num_test=40, num_unlabeled=120, seed=1)
+    cfg = {
+        "model": {
+            "general": {"image_size": 96, "patch_size": 8, "in_chans": 3},
+            "encoder": {"embed_dim": 32, "depth": 2, "num_heads": 4},
+            "decoder": {
+                "decoder_embed_dim": 32, "decoder_depth": 1, "decoder_num_heads": 4
+            },
+            "head": {"embed_dim": 32, "pool": "cls"},
+        },
+        "pretrain": {
+            "mask_ratio_start": 0.75, "mask_ratio_end": 0.75,
+            "mask_ramp_epochs": 5, "total_epochs": 2, "warmup_epochs": 1,
+            "batch_size": 16, "base_learning_rate": 1.5e-4,
+            "weight_decay": 0.05, "data_fraction": 1.0, "val_split": 0.1,
+        },
+        "train": {
+            "samples_per_class": 4, "total_epochs": 2, "warmup_epochs": 1,
+            "batch_size": 16, "learning_rate": 1e-3, "weight_decay": 0.05,
+            "freeze_encoder": True,
+        },
+        "test": {"batch_size": 16},
+        "logging": {
+            "output_dir_base": str(root / "outputs"), "model_path": "vit-mae.pt"
+        },
+    }
+    cfg_path = root / "tiny.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    return {
+        "root": root,
+        "cfg_path": cfg_path,
+        "outputs": root / "outputs",
+        "env": {"SSRL_DATA_DIR": str(data)},
+    }
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_full_chain(self, cli_env):
+        env = cli_env["env"]
+        cfg = str(cli_env["cfg_path"])
+        out = cli_env["outputs"]
+
+        # 1) MAE pretraining
+        stdout = run_cli(
+            "scripts.training.pretrain_mae",
+            "--config", cfg, "--output_dir_suffix", "mae_t",
+            env_extra=env,
+        )
+        assert "Pretraining complete" in stdout
+        pre_dir = out / "pretrain" / "mae_t"
+        best = pre_dir / "checkpoints" / "best.ckpt"
+        assert best.exists()
+        assert (pre_dir / "checkpoints" / "last.ckpt").exists()
+        assert (pre_dir / "config.yaml").exists()
+        assert (pre_dir / "vit-mae.pt").exists()
+        metrics = [
+            json.loads(line)
+            for line in (pre_dir / "metrics.jsonl").read_text().splitlines()
+        ]
+        assert any("val_loss" in m for m in metrics)
+        assert any("mask_ratio" in m for m in metrics)
+
+        # 2) resume continues from the saved epoch
+        stdout = run_cli(
+            "scripts.training.pretrain_mae",
+            "--config", cfg, "--output_dir_suffix", "mae_t",
+            "--resume_from", str(pre_dir / "checkpoints" / "last.ckpt"),
+            env_extra=env,
+        )
+        assert "Resumed" in stdout
+
+        # 3) supervised probe from the pretrain checkpoint (encoder prefix path)
+        stdout = run_cli(
+            "scripts.training.train_mae",
+            "--config", cfg, "--encoder_ckpt", str(best),
+            "--output_dir_suffix", "mae_t_400_frozen",
+            env_extra=env,
+        )
+        assert "Training complete" in stdout
+        assert "Freezing encoder" in stdout
+        train_best = out / "train/mae_t_400_frozen/checkpoints/best.ckpt"
+        assert train_best.exists()
+
+        # 4) continuation from classifier ckpt (ablation chaining path)
+        stdout = run_cli(
+            "scripts.training.train_mae",
+            "--config", cfg, "--classifier_ckpt", str(train_best),
+            "--output_dir_suffix", "mae_t_400_full",
+            env_extra=env,
+        )
+        assert "full classifier checkpoint" in stdout
+
+        # 5) also load the exported raw weights file (.pt path of the loader)
+        stdout = run_cli(
+            "scripts.training.train_mae",
+            "--config", cfg,
+            "--encoder_ckpt", str(pre_dir / "vit-mae.pt"),
+            "--output_dir_suffix", "mae_t_400_pt",
+            env_extra=env,
+        )
+        assert "Training complete" in stdout
+
+        # 6) evaluation
+        stdout = run_cli(
+            "scripts.evaluation.evaluate_classifier",
+            "--config", cfg, "--checkpoint", str(train_best),
+            env_extra=env,
+        )
+        assert "Test Accuracy" in stdout
+
+    def test_baseline_random_init(self, cli_env):
+        stdout = run_cli(
+            "scripts.training.train_mae",
+            "--config", str(cli_env["cfg_path"]),
+            "--output_dir_suffix", "mae_000_4",
+            env_extra=cli_env["env"],
+        )
+        assert "Baseline: random-initialized" in stdout
+
+    def test_synthetic_data_cli(self, tmp_path):
+        run_cli(
+            "scripts.data", "--synthetic", "--data_dir", str(tmp_path / "d"),
+            "--synthetic_train", "20", "--synthetic_test", "10",
+            "--synthetic_unlabeled", "30",
+        )
+        assert (tmp_path / "d/stl10_binary/unlabeled_X.bin").exists()
