@@ -1,0 +1,101 @@
+"""MAE-pretrain throughput benchmark (the BASELINE.md headline metric).
+
+Measures images/sec of the full jitted MAE training step — on-device uint8
+augmentation → per-sample masking → masked-encoder/decoder fwd+bwd → clipped
+AdamW update — on the flagship config (tiny ViT enc 144/4/6, dec 192/2/6,
+96px/patch-8, mask 0.75, bf16 compute) on the attached accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's notebook trace ≈ 11.9k images/s on its CUDA GPU
+(BASELINE.md: 23.2 it/s × batch 512, notebook.ipynb cell 18).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMAGES_PER_S = 11900.0
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=4096)
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--attn-impl", type=str, default="auto")
+    parser.add_argument("--augment", action=argparse.BooleanOptionalAction, default=True)
+    args = parser.parse_args()
+
+    import jax
+
+    from ssrl_vit_mae_jepa_tpu.config import DEFAULTS
+    from ssrl_vit_mae_jepa_tpu.parallel.mesh import get_mesh
+    from ssrl_vit_mae_jepa_tpu.training.tasks import MAETask
+    from ssrl_vit_mae_jepa_tpu.training.trainer import Trainer
+
+    B = args.batch_size
+    mesh = get_mesh()
+    pre_cfg = {
+        "mask_ratio_start": 0.75, "mask_ratio_end": 0.75, "mask_ramp_epochs": 5,
+        "total_epochs": 800, "warmup_epochs": 20, "batch_size": B,
+        "base_learning_rate": 1.5e-4, "weight_decay": 0.05,
+        "augment": args.augment,
+    }
+    task = MAETask(DEFAULTS["model"], pre_cfg, attn_impl=args.attn_impl)
+    trainer = Trainer(
+        task, max_epochs=1, output_dir="/tmp/ssrl_bench", mesh=mesh,
+        enable_checkpointing=False,
+    )
+    trainer.init_state()
+
+    rng = np.random.default_rng(0)
+    shardings = trainer._batch_shardings()
+    batch = {
+        "image": jax.device_put(
+            rng.integers(0, 256, (B, 96, 96, 3)).astype(np.uint8),
+            shardings["image"],
+        ),
+        "label": jax.device_put(np.full((B,), -1, np.int32), shardings["label"]),
+        "weight": jax.device_put(np.ones((B,), np.float32), shardings["weight"]),
+    }
+    ctx = task.epoch_context(0)
+    state = trainer.state
+
+    # NOTE: completion barrier is a VALUE FETCH, not jax.block_until_ready —
+    # on the axon remote backend block_until_ready can return while the
+    # dispatched chain is still executing server-side (measured: 1.3 ms/step
+    # "with" block_until_ready vs 400 ms/step real); fetching a scalar from
+    # the final step forces the whole dependency chain.
+    for _ in range(args.warmup):
+        state, sums = task.train_step(state, batch, 0, ctx)
+    float(sums["loss_sum"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, sums = task.train_step(state, batch, 0, ctx)
+    float(sums["loss_sum"])
+    dt = time.perf_counter() - t0
+
+    images_per_s = B * args.steps / dt
+    n_chips = jax.device_count()
+    result = {
+        "metric": "mae_pretrain_images_per_sec",
+        "value": round(images_per_s, 1),
+        "unit": "images/s",
+        "vs_baseline": round(images_per_s / BASELINE_IMAGES_PER_S, 3),
+        "batch_size": B,
+        "steps": args.steps,
+        "chips": n_chips,
+        "images_per_sec_per_chip": round(images_per_s / n_chips, 1),
+        "step_time_ms": round(1e3 * dt / args.steps, 3),
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,7 +59,13 @@ def multi_head_attention(
             supported = _pallas_supported(B, H, L, d, str(q.dtype))
         except Exception:
             supported = False
-        if supported and (_on_tpu() or impl == "pallas"):
+        # auto: the fused kernel wins for the 145-token decoder/classifier
+        # sequences (measured 63 vs 84 ms fwd+bwd at B=4096 on v5e) by keeping
+        # scores in VMEM; for the 37-token masked encoder XLA's batched path
+        # is faster (12.5 vs 17.9 ms) — both are MXU-pass-bound (SURVEY of
+        # measurements in ops/attention_pallas.py docstring).
+        worth_it = impl == "pallas" or L >= 64
+        if supported and worth_it and (_on_tpu() or impl == "pallas"):
             from ssrl_vit_mae_jepa_tpu.ops import attention_pallas
 
             return attention_pallas.mha_pallas(q, k, v)

@@ -1,0 +1,133 @@
+"""JEPA pretraining task: EMA target encoder + latent predictor.
+
+BASELINE.json config 4 — absent from the reference code (SURVEY.md §0).
+Reuses the MAE pretraining conventions where sensible: AdamW with linear LR
+scaling lr·batch/256, warmup×cosine epoch schedule, grad clip 1.0, monitor
+``val_loss``/min. The target encoder's parameters live in
+``TrainState.extra`` and are updated after every optimizer step with a
+per-epoch-scheduled EMA momentum (optax-style incremental update inside the
+jitted step; stop-gradient guarantees no backward flow).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ssrl_vit_mae_jepa_tpu.models.jepa import jepa_from_config
+from ssrl_vit_mae_jepa_tpu.ops.jepa_masking import sample_jepa_masks
+from ssrl_vit_mae_jepa_tpu.training.schedules import effective_pretrain_lr
+from ssrl_vit_mae_jepa_tpu.training.state import TrainState
+from ssrl_vit_mae_jepa_tpu.training.tasks import Task, _weighted
+
+
+class JEPATask(Task):
+    monitor = "val_loss"
+    monitor_mode = "min"
+
+    def __init__(
+        self,
+        model_cfg: dict,
+        jepa_cfg: dict,
+        dtype=jnp.bfloat16,
+        attn_impl: str = "auto",
+        augment: Optional[bool] = None,
+    ):
+        super().__init__()
+        self.model_cfg = model_cfg
+        self.jepa_cfg = jepa_cfg
+        self.model = jepa_from_config(
+            model_cfg, jepa_cfg, dtype=dtype, attn_impl=attn_impl
+        )
+        base = float(jepa_cfg.get("base_learning_rate", 1.5e-4))
+        self.batch_size = int(jepa_cfg.get("batch_size", 512))
+        self.base_lr = effective_pretrain_lr(base, self.batch_size)
+        self.weight_decay = float(jepa_cfg.get("weight_decay", 0.05))
+        self.warmup_epochs = int(jepa_cfg.get("warmup_epochs", 20))
+        self.total_epochs = int(jepa_cfg.get("total_epochs", 200))
+        self.grad_clip = 1.0
+        self.augment = bool(jepa_cfg.get("augment", True)) if augment is None else augment
+        self.ema_start = float(jepa_cfg.get("ema_start", 0.996))
+        self.ema_end = float(jepa_cfg.get("ema_end", 1.0))
+
+        self.image_size = self.model.image_size
+        self.grid_size = self.image_size // self.model.patch_size
+        self.num_patches = self.model.num_patches
+        self.num_blocks = int(jepa_cfg.get("num_target_blocks", 4))
+        scale = jepa_cfg.get("target_scale", [0.15, 0.2])
+        self.block_area = max(4, round(sum(scale) / 2 * self.num_patches))
+        aspect = jepa_cfg.get("target_aspect_ratio", [0.75, 1.5])
+        self.aspect_range = (float(aspect[0]), float(aspect[1]))
+        # context: fixed-size complement sample (see ops.jepa_masking)
+        self.context_size = max(
+            8, self.num_patches - self.num_blocks * self.block_area
+        )
+
+    def init_params(self, rng):
+        dummy = jnp.zeros((2, self.image_size, self.image_size, self.model.in_chans))
+        t_idx, c_idx = sample_jepa_masks(
+            rng, 2, self.grid_size, self.num_blocks, self.block_area,
+            self.context_size, self.aspect_range,
+        )
+        idx_ctx = self._ctx_tokens(c_idx)
+        idx_tgt = t_idx + 1
+        return jax.jit(self.model.init)(rng, dummy, idx_ctx, idx_tgt)["params"]
+
+    def init_extra(self, params):
+        """EMA target-encoder params start as a copy of the context encoder."""
+        return jax.tree.map(jnp.array, params["encoder"])
+
+    @staticmethod
+    def _ctx_tokens(ctx_patch_idx):
+        """Patch-space context indices → token space with CLS pinned first."""
+        B = ctx_patch_idx.shape[0]
+        cls = jnp.zeros((B, 1), ctx_patch_idx.dtype)
+        return jnp.concatenate([cls, ctx_patch_idx + 1], axis=1)
+
+    def loss_and_metric_sums(self, params, images, batch, rng, ctx, extra=None):
+        B = images.shape[0]
+        t_idx, c_idx = sample_jepa_masks(
+            rng, B, self.grid_size, self.num_blocks, self.block_area,
+            self.context_size, self.aspect_range,
+        )
+        idx_ctx = self._ctx_tokens(c_idx)
+        idx_tgt = t_idx + 1
+        pred = self.model.apply({"params": params}, images, idx_ctx, idx_tgt)
+        target = self.model.apply(
+            {"params": {"encoder": extra}},
+            images,
+            idx_tgt,
+            method=self.model.target_representations,
+        )
+        target = jax.lax.stop_gradient(target)
+        per_ex = jnp.mean(
+            (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2,
+            axis=(1, 2),
+        )
+        w = batch["weight"]
+        loss_sum, weight_sum = _weighted(per_ex, w)
+        loss = loss_sum / jnp.maximum(weight_sum, 1.0)
+        return loss, {"loss_sum": loss_sum, "weight_sum": weight_sum}
+
+    def post_update(self, state: TrainState, epoch) -> TrainState:
+        frac = jnp.clip(
+            jnp.asarray(epoch, jnp.float32) / max(1, self.total_epochs), 0.0, 1.0
+        )
+        m = self.ema_start + frac * (self.ema_end - self.ema_start)
+        new_ema = jax.tree.map(
+            lambda t, p: t * m + p.astype(t.dtype) * (1.0 - m),
+            state.extra,
+            state.params["encoder"],
+        )
+        return state.replace(extra=new_ema)
+
+    def host_epoch_metrics(self, epoch: int) -> Dict[str, float]:
+        frac = min(epoch / max(1, self.total_epochs), 1.0)
+        return {"ema_momentum": self.ema_start + frac * (self.ema_end - self.ema_start)}
+
+    @staticmethod
+    def epoch_metrics_from_sums(sums: Dict[str, float], prefix: str) -> Dict[str, float]:
+        w = max(sums.get("weight_sum", 0.0), 1e-9)
+        return {f"{prefix}_loss": sums.get("loss_sum", 0.0) / w}

@@ -58,12 +58,22 @@ class Task:
         raise NotImplementedError
 
     def loss_and_metric_sums(
-        self, params, images, batch, rng, ctx
+        self, params, images, batch, rng, ctx, extra=None
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         raise NotImplementedError
 
-    def eval_metric_sums(self, params, images, batch, rng, ctx) -> Dict[str, jnp.ndarray]:
-        loss, sums = self.loss_and_metric_sums(params, images, batch, rng, ctx)
+    def loss_and_metric_sums_in_step(self, params, state, images, batch, rng, ctx):
+        """In-step variant with access to the full state (e.g. EMA params)."""
+        return self.loss_and_metric_sums(
+            params, images, batch, rng, ctx, extra=state.extra
+        )
+
+    def eval_metric_sums(
+        self, params, extra, images, batch, rng, ctx
+    ) -> Dict[str, jnp.ndarray]:
+        loss, sums = self.loss_and_metric_sums(
+            params, images, batch, rng, ctx, extra=extra
+        )
         return sums
 
     def lr_value(self, epoch):
@@ -96,6 +106,14 @@ class Task:
         )
         return self.tx.init(params)
 
+    def init_extra(self, params):
+        """Task-specific non-trainable state (e.g. JEPA's EMA target params)."""
+        return None
+
+    def post_update(self, state: "TrainState", epoch) -> "TrainState":
+        """Hook after the optimizer update, inside the jitted step."""
+        return state
+
     def init_state(self, rng, init_params_override=None) -> TrainState:
         params_rng, state_rng = jax.random.split(rng)
         params = self.init_params(params_rng)
@@ -107,6 +125,7 @@ class Task:
             opt_state=opt_state,
             rng=state_rng,
             step=jnp.zeros((), jnp.int32),
+            extra=self.init_extra(params),
         )
 
     def train_step(self, state: TrainState, batch, epoch, ctx=None):
@@ -114,10 +133,10 @@ class Task:
             self._train_step = self._make_train_step()
         return self._train_step(state, batch, jnp.asarray(epoch, jnp.float32), ctx)
 
-    def eval_step(self, params, batch, rng, ctx=None):
+    def eval_step(self, params, batch, rng, ctx=None, extra=None):
         if self._eval_step is None:
             self._eval_step = self._make_eval_step()
-        return self._eval_step(params, batch, rng, ctx)
+        return self._eval_step(params, extra, batch, rng, ctx)
 
     def _make_train_step(self):
         @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
@@ -131,7 +150,9 @@ class Task:
                     if self.mask is not None
                     else p
                 )
-                return self.loss_and_metric_sums(p_eff, images, batch, task_rng, ctx)
+                return self.loss_and_metric_sums_in_step(
+                    p_eff, state, images, batch, task_rng, ctx
+                )
 
             (loss, sums), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
@@ -143,6 +164,7 @@ class Task:
             new_state = state.replace(
                 params=params, opt_state=opt_state, rng=rng, step=state.step + 1
             )
+            new_state = self.post_update(new_state, epoch)
             sums = dict(sums)
             sums["lr"] = lr
             return new_state, sums
@@ -150,10 +172,10 @@ class Task:
         return step
 
     def _make_eval_step(self):
-        @partial(jax.jit, static_argnums=(3,))
-        def step(params, batch, rng, ctx):
+        @partial(jax.jit, static_argnums=(4,))
+        def step(params, extra, batch, rng, ctx):
             images = self.preprocess_eval(batch["image"])
-            return self.eval_metric_sums(params, images, batch, rng, ctx)
+            return self.eval_metric_sums(params, extra, images, batch, rng, ctx)
 
         return step
 
@@ -218,7 +240,7 @@ class ClassifierTask(Task):
         self._freeze_encoder = freeze_encoder
         self._unfreeze_last = unfreeze_last_layers
 
-    def loss_and_metric_sums(self, params, images, batch, rng, ctx):
+    def loss_and_metric_sums(self, params, images, batch, rng, ctx, extra=None):
         logits = self.model.apply({"params": params}, images)
         labels = batch["label"]
         logp = jax.nn.log_softmax(logits.astype(jnp.float32))
@@ -303,7 +325,7 @@ class MAETask(Task):
         )
         return jax.jit(self.model.init)(rng, dummy, idx_keep, idx_mask)["params"]
 
-    def loss_and_metric_sums(self, params, images, batch, rng, ctx):
+    def loss_and_metric_sums(self, params, images, batch, rng, ctx, extra=None):
         n_mask = int(ctx)
         B = images.shape[0]
         idx_keep, idx_mask = random_token_mask(

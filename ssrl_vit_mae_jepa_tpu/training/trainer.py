@@ -182,8 +182,10 @@ class Trainer:
     ) -> Dict[str, float]:
         if ctx is None:
             ctx = self.task.epoch_context(epoch)
+        extra = None
         if params is None:
             params = self.state.params
+            extra = self.state.extra
         batch_shardings = self._batch_shardings()
         sums = None
         base_rng = jax.random.PRNGKey(EVAL_RNG_SEED)
@@ -191,7 +193,7 @@ class Trainer:
             device_prefetch(loader.epoch(0), batch_shardings)
         ):
             rng = jax.random.fold_in(base_rng, epoch * 100003 + i)
-            s = self.task.eval_step(params, batch, rng, ctx)
+            s = self.task.eval_step(params, batch, rng, ctx, extra=extra)
             sums = s if sums is None else jax.tree.map(lambda a, b: a + b, sums, s)
         sums = {} if sums is None else jax.device_get(sums)
         return self.task.epoch_metrics_from_sums(sums, prefix)

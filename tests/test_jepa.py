@@ -1,0 +1,132 @@
+"""JEPA tests: masking invariants, model shapes, EMA semantics, learning."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ssrl_vit_mae_jepa_tpu.config import DEFAULTS, _deep_merge
+from ssrl_vit_mae_jepa_tpu.data.pipeline import HostLoader
+from ssrl_vit_mae_jepa_tpu.data.stl10 import STL10
+from ssrl_vit_mae_jepa_tpu.models.jepa import jepa_from_config
+from ssrl_vit_mae_jepa_tpu.ops.jepa_masking import block_shapes_for, sample_jepa_masks
+from ssrl_vit_mae_jepa_tpu.training.jepa_task import JEPATask
+from ssrl_vit_mae_jepa_tpu.training.trainer import Trainer
+
+SMALL_MODEL = {
+    "general": {"image_size": 96, "patch_size": 8, "in_chans": 3},
+    "encoder": {"embed_dim": 48, "depth": 2, "num_heads": 4},
+    "decoder": {"decoder_embed_dim": 48, "decoder_depth": 1, "decoder_num_heads": 4},
+    "head": {"pool": "cls"},
+}
+SMALL_JEPA = {
+    "total_epochs": 4, "warmup_epochs": 1, "batch_size": 16,
+    "base_learning_rate": 5e-4, "weight_decay": 0.05,
+    "predictor_embed_dim": 32, "predictor_depth": 1, "predictor_num_heads": 4,
+    "num_target_blocks": 4, "target_scale": [0.15, 0.2],
+    "target_aspect_ratio": [0.75, 1.5], "ema_start": 0.99, "ema_end": 1.0,
+}
+
+
+class TestJepaMasking:
+    def test_block_shapes(self):
+        shapes = block_shapes_for(24, (0.75, 1.5))
+        assert all(h * w == 24 for h, w in shapes)
+        assert all(0.75 <= h / w <= 1.5 for h, w in shapes)
+        assert shapes  # non-empty
+
+    def test_mask_invariants(self, rng):
+        B, grid = 8, 12
+        t_idx, c_idx = sample_jepa_masks(rng, B, grid, 4, 24, 48)
+        assert t_idx.shape == (B, 96) and c_idx.shape == (B, 48)
+        t, c = np.asarray(t_idx), np.asarray(c_idx)
+        assert t.min() >= 0 and t.max() < 144
+        assert c.min() >= 0 and c.max() < 144
+        for b in range(B):
+            # context never overlaps the target union
+            assert not set(c[b]) & set(t[b])
+            # context indices unique
+            assert len(set(c[b])) == 48
+
+    def test_blocks_are_rectangles(self, rng):
+        B, grid = 4, 12
+        t_idx, _ = sample_jepa_masks(rng, B, grid, 1, 24, 48)
+        t = np.asarray(t_idx).reshape(B, 24)
+        for b in range(B):
+            ys, xs = t[b] // grid, t[b] % grid
+            h = ys.max() - ys.min() + 1
+            w = xs.max() - xs.min() + 1
+            assert h * w == 24  # contiguous rectangle of area 24
+
+
+class TestJepaModel:
+    def test_shapes(self, rng):
+        model = jepa_from_config(SMALL_MODEL, SMALL_JEPA, dtype=jnp.float32)
+        B = 2
+        imgs = jnp.asarray(
+            np.random.default_rng(0).uniform(-1, 1, (B, 96, 96, 3)), jnp.float32
+        )
+        t_idx, c_idx = sample_jepa_masks(rng, B, 12, 4, 24, 48)
+        idx_ctx = jnp.concatenate(
+            [jnp.zeros((B, 1), t_idx.dtype), c_idx + 1], axis=1
+        )
+        idx_tgt = t_idx + 1
+        params = model.init(rng, imgs, idx_ctx, idx_tgt)["params"]
+        assert "encoder" in params and "predictor" in params
+        pred = model.apply({"params": params}, imgs, idx_ctx, idx_tgt)
+        assert pred.shape == (B, 96, 48)
+        tgt = model.apply(
+            {"params": {"encoder": params["encoder"]}}, imgs, idx_tgt,
+            method=model.target_representations,
+        )
+        assert tgt.shape == (B, 96, 48)
+
+
+class TestJepaTask:
+    def _loaders(self, synthetic_stl10_dir):
+        ds = STL10(synthetic_stl10_dir, "unlabeled")
+        train = HostLoader(ds, np.arange(96), 16, shuffle=True, seed=73)
+        val = HostLoader(ds, np.arange(96, 128), 16, shuffle=False)
+        return train, val
+
+    def test_ema_update_semantics(self, synthetic_stl10_dir):
+        task = JEPATask(SMALL_MODEL, SMALL_JEPA, dtype=jnp.float32)
+        state = task.init_state(jax.random.PRNGKey(0))
+        ema0 = jax.device_get(state.extra)
+        p0 = jax.device_get(state.params["encoder"])
+        jax.tree.map(np.testing.assert_array_equal, ema0, p0)  # starts equal
+        ds = STL10(synthetic_stl10_dir, "unlabeled")
+        batch = next(iter(HostLoader(ds, np.arange(16), 16, shuffle=False).epoch(0)))
+        state, _ = task.train_step(state, batch, 0, None)
+        ema1 = jax.device_get(state.extra)
+        p1 = jax.device_get(state.params["encoder"])
+        lhs = ema1["cls_token"]
+        expect = 0.99 * ema0["cls_token"] + 0.01 * p1["cls_token"]
+        np.testing.assert_allclose(lhs, expect, atol=1e-6)
+
+    def test_loss_decreases(self, synthetic_stl10_dir, tmp_path):
+        train, val = self._loaders(synthetic_stl10_dir)
+        task = JEPATask(SMALL_MODEL, SMALL_JEPA, dtype=jnp.float32)
+        trainer = Trainer(
+            task, max_epochs=4, output_dir=tmp_path / "jepa",
+            enable_checkpointing=True,
+        )
+        trainer.init_state()
+        m0 = trainer.evaluate(val, prefix="val", epoch=0)
+        metrics = trainer.fit(train, val)
+        assert metrics["val_loss"] < m0["val_loss"], (m0, metrics)
+        assert (tmp_path / "jepa/checkpoints/best.ckpt").exists()
+
+    def test_downstream_encoder_loading(self, synthetic_stl10_dir, tmp_path):
+        """JEPA checkpoints feed the probe path via the encoder subtree."""
+        from ssrl_vit_mae_jepa_tpu.utils.checkpoint import save_checkpoint
+        from ssrl_vit_mae_jepa_tpu.utils.load import encoder_params_from_checkpoint
+
+        task = JEPATask(SMALL_MODEL, SMALL_JEPA, dtype=jnp.float32)
+        state = task.init_state(jax.random.PRNGKey(0))
+        p = tmp_path / "best.ckpt"
+        save_checkpoint(p, state, {"epoch": 0})
+        enc, report = encoder_params_from_checkpoint(p, depth=2)
+        assert "cls_token" in enc and "blocks_1" in enc
+        assert not report["missing"]
