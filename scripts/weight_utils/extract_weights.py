@@ -1,0 +1,57 @@
+"""Strip training state from checkpoints → pure weight files.
+
+Reference contract (``scripts/weight_utils/extract_weights.py:12-30``): for
+every ``.ckpt`` in ``assets/weights/``, write a ``.pt`` containing only the
+model weights. Here: native checkpoints lose optimizer/rng state; torch
+checkpoints are converted to native weight files on the way.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def extract(ckpt_path: Path, out_path: Path, depth: int, decoder_depth: int):
+    from ssrl_vit_mae_jepa_tpu.utils.checkpoint import (
+        is_native_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from ssrl_vit_mae_jepa_tpu.utils import torch_interop as ti
+
+    if is_native_checkpoint(ckpt_path):
+        state, meta = load_checkpoint(ckpt_path)
+        params = state["params"] if "params" in state else state
+        save_checkpoint(
+            out_path, {"params": params},
+            {"kind": "weights", "hyper_parameters": meta.get("hyper_parameters", {})},
+        )
+    else:
+        flat = ti.load_torch_state_dict(ckpt_path)
+        if any(k.startswith(("decoder.", "model.decoder.")) for k in flat):
+            params, _ = ti.mae_state_to_params(flat, depth, decoder_depth)
+        else:
+            params, _ = ti.classifier_state_to_params(flat, depth)
+        save_checkpoint(out_path, {"params": params}, {"kind": "weights"})
+    print(f"✅ {ckpt_path} → {out_path}")
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Extract pure weights from checkpoints")
+    parser.add_argument("--weights_dir", type=str, default="assets/weights")
+    parser.add_argument("--depth", type=int, default=4)
+    parser.add_argument("--decoder_depth", type=int, default=2)
+    args = parser.parse_args()
+
+    weights_dir = Path(args.weights_dir)
+    ckpts = sorted(weights_dir.glob("*.ckpt"))
+    if not ckpts:
+        print(f"No .ckpt files found in {weights_dir}")
+        return
+    for ckpt in ckpts:
+        extract(ckpt, ckpt.with_suffix(".pt"), args.depth, args.decoder_depth)
+
+
+if __name__ == "__main__":
+    main()
