@@ -69,16 +69,24 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ssrl_vit_mae_jepa_tpu.ops.attention import mha_natural, use_packed
+
         B, L, D = x.shape
         h = self.num_heads
         hd = D // h
         qkv = nn.Dense(
             3 * D, dtype=self.dtype, kernel_init=trunc_normal_init, name="qkv"
         )(x)
-        qkv = qkv.reshape(B, L, 3, h, hd).transpose(2, 0, 3, 1, 4)  # (3, B, h, L, hd)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        out = multi_head_attention(q, k, v, impl=self.attn_impl)
-        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        if use_packed(B, L, D, h, qkv.dtype, self.attn_impl):
+            # slot-packed kernel consumes/produces the natural (B, L, D)
+            # layout straight from the qkv GEMM — no head transposes at all
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            out = mha_natural(q, k, v, h)
+        else:
+            qkv = qkv.reshape(B, L, 3, h, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            out = multi_head_attention(q, k, v, impl=self.attn_impl)
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
         out = nn.Dense(
             D, dtype=self.dtype, kernel_init=trunc_normal_init, name="proj"
         )(out)

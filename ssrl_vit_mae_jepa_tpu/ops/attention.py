@@ -47,6 +47,42 @@ def _pallas_supported(B: int, H: int, L: int, d: int, dtype_name: str) -> bool:
     return attention_pallas.supported(B, H, L, d, dtype_name)
 
 
+@functools.lru_cache(maxsize=None)
+def _packed_supported(B: int, H: int, L: int, D: int, dtype_name: str) -> bool:
+    from ssrl_vit_mae_jepa_tpu.ops import attention_pallas_packed
+
+    return attention_pallas_packed.supported(B, H, L, D, dtype_name)
+
+
+def use_packed(B: int, L: int, D: int, num_heads: int, dtype, impl: str) -> bool:
+    """Policy for the slot-packed natural-layout kernel.
+
+    Measured on v5e (B=2048): decoder shape fwd+bwd 21.7 ms (packed) vs
+    42.6 ms (XLA) vs 32.7 ms (per-head pallas); encoder shape at parity —
+    and the packed path additionally removes all (B, H, L, d) transposes.
+    """
+    if impl == "xla" or impl == "pallas":
+        return False
+    try:
+        ok = _packed_supported(B, num_heads, L, D, str(dtype))
+    except Exception:
+        return False
+    if impl == "packed":
+        if not ok:
+            raise ValueError(
+                f"packed attention unsupported for B={B} L={L} D={D} H={num_heads}"
+            )
+        return True
+    return ok and _on_tpu()
+
+
+def mha_natural(q, k, v, num_heads: int):
+    """Slot-packed attention on natural (B, L, D) layout."""
+    from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_packed import mha_packed
+
+    return mha_packed(q, k, v, num_heads)
+
+
 def multi_head_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, impl: str = "auto"
 ) -> jnp.ndarray:
