@@ -23,11 +23,15 @@ BASELINE_IMAGES_PER_S = 11900.0
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=4096)
+    parser.add_argument("--batch-size", type=int, default=2048)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--attn-impl", type=str, default="auto")
     parser.add_argument("--augment", action=argparse.BooleanOptionalAction, default=True)
+    parser.add_argument(
+        "--profile-dir", type=str, default=None,
+        help="capture a jax.profiler trace of the timed steps into this dir",
+    )
     args = parser.parse_args()
 
     import jax
@@ -74,10 +78,13 @@ def main():
         state, sums = task.train_step(state, batch, 0, ctx)
     float(sums["loss_sum"])
 
+    from ssrl_vit_mae_jepa_tpu.utils.profiling import trace
+
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, sums = task.train_step(state, batch, 0, ctx)
-    float(sums["loss_sum"])
+    with trace(args.profile_dir):
+        for _ in range(args.steps):
+            state, sums = task.train_step(state, batch, 0, ctx)
+        float(sums["loss_sum"])
     dt = time.perf_counter() - t0
 
     images_per_s = B * args.steps / dt
