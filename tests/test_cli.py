@@ -150,6 +150,37 @@ class TestEndToEnd:
         )
         assert "Test Accuracy" in stdout
 
+    def test_jepa_pretrain_and_probe(self, cli_env):
+        """JEPA CLI → downstream probe via --encoder_ckpt (BASELINE config 4)."""
+        import yaml as _yaml
+
+        cfg = _yaml.safe_load(cli_env["cfg_path"].read_text())
+        cfg["jepa"] = {
+            "total_epochs": 2, "warmup_epochs": 1, "batch_size": 16,
+            "base_learning_rate": 1.5e-4, "weight_decay": 0.05,
+            "data_fraction": 1.0, "val_split": 0.1,
+            "predictor_embed_dim": 32, "predictor_depth": 1,
+            "predictor_num_heads": 4, "num_target_blocks": 4,
+            "ema_start": 0.99, "ema_end": 1.0,
+        }
+        jepa_cfg_path = cli_env["root"] / "tiny_jepa.yaml"
+        jepa_cfg_path.write_text(_yaml.safe_dump(cfg))
+        stdout = run_cli(
+            "scripts.training.pretrain_jepa",
+            "--config", str(jepa_cfg_path), "--output_dir_suffix", "jepa_t",
+            env_extra=cli_env["env"],
+        )
+        assert "JEPA pretraining complete" in stdout
+        best = cli_env["outputs"] / "pretrain/jepa_t/checkpoints/best.ckpt"
+        assert best.exists()
+        stdout = run_cli(
+            "scripts.training.train_mae",
+            "--config", str(jepa_cfg_path), "--encoder_ckpt", str(best),
+            "--output_dir_suffix", "jepa_t_400_frozen",
+            env_extra=cli_env["env"],
+        )
+        assert "Training complete" in stdout
+
     def test_baseline_random_init(self, cli_env):
         stdout = run_cli(
             "scripts.training.train_mae",
