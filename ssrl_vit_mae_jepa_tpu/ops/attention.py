@@ -48,39 +48,40 @@ def _pallas_supported(B: int, H: int, L: int, d: int, dtype_name: str) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _packed_supported(B: int, H: int, L: int, D: int, dtype_name: str) -> bool:
-    from ssrl_vit_mae_jepa_tpu.ops import attention_pallas_packed
+def _stacked_supported(B: int, H: int, L: int, D: int, dtype_name: str) -> bool:
+    from ssrl_vit_mae_jepa_tpu.ops import attention_pallas_stacked
 
-    return attention_pallas_packed.supported(B, H, L, D, dtype_name)
+    return attention_pallas_stacked.supported(B, H, L, D, dtype_name)
 
 
 def use_packed(B: int, L: int, D: int, num_heads: int, dtype, impl: str) -> bool:
-    """Policy for the slot-packed natural-layout kernel.
+    """Policy for the natural-layout fused kernels.
 
-    Measured on v5e (B=2048): decoder shape fwd+bwd 21.7 ms (packed) vs
-    42.6 ms (XLA) vs 32.7 ms (per-head pallas); encoder shape at parity —
-    and the packed path additionally removes all (B, H, L, d) transposes.
+    Measured on v5e (B=2048, fwd+bwd per call): decoder shape 16.9 ms
+    (head-stacked) vs 21.7 ms (slot-packed) vs 42.6 ms (XLA) vs 32.7 ms
+    (per-head pallas); encoder shape 8.4 / 9.4 / 9.9 / 20.8 ms — and the
+    natural-layout path additionally removes all (B, H, L, d) transposes.
     """
     if impl == "xla" or impl == "pallas":
         return False
     try:
-        ok = _packed_supported(B, num_heads, L, D, str(dtype))
+        ok = _stacked_supported(B, num_heads, L, D, str(dtype))
     except Exception:
         return False
     if impl == "packed":
         if not ok:
             raise ValueError(
-                f"packed attention unsupported for B={B} L={L} D={D} H={num_heads}"
+                f"fused attention unsupported for B={B} L={L} D={D} H={num_heads}"
             )
         return True
     return ok and _on_tpu()
 
 
 def mha_natural(q, k, v, num_heads: int):
-    """Slot-packed attention on natural (B, L, D) layout."""
-    from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_packed import mha_packed
+    """Head-stacked fused attention on natural (B, L, D) layout."""
+    from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_stacked import mha_stacked
 
-    return mha_packed(q, k, v, num_heads)
+    return mha_stacked(q, k, v, num_heads)
 
 
 def multi_head_attention(

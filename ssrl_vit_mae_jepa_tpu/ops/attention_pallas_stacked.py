@@ -1,0 +1,176 @@
+"""Head-stacked multi-head attention Pallas kernel (natural layout, minimal
+MXU passes).
+
+Refinement of the slot-packed kernel (``attention_pallas_packed``): instead
+of spreading K/V into a block-diagonal (H·Lb, D) with per-head 128-aligned
+segments (which pads the score N-dim to H·Lb and needs a segmented softmax),
+stack the QUERIES per head along the M-dim with disjoint-slot masking and
+keep K/V in their natural (L, D) layout:
+
+    Qs[g·L + l, c] = q[l, c]·scale  if c ∈ slot(g) else 0
+    S  = Qs Kᵀ               (H·L, L)   — S[(g,l), m] = q_g[l]·k_g[m] exactly
+                                          (disjoint slots kill cross terms)
+    P  = row-softmax(S)                  — no segmentation needed
+    O* = P V                 (H·L, D)
+    o[l, c] = O*[slot(c)·L + l, c]       — slot-masked row-block collapse
+
+MXU passes per image drop ~1.7× (decoder) / 3× (encoder) vs the N-packed
+form, the scores tensor shrinks from (L, H·Lb) to (H·L, L), and the backward
+gets dV and dK directly (no collapse):
+
+    dP = dOs Vᵀ ; dS = P∘(dP − rowsum(dP∘P))
+    dQs = dS K  → slot-collapse → dq
+    dV  = Pᵀ dOs                 (direct)
+    dK  = dSᵀ Qs                 (direct)
+
+where dOs is dO spread like Q. fp32 scores/softmax; bf16/fp32 IO.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def supported(B: int, H: int, L: int, D: int, dtype_name: str) -> bool:
+    if dtype_name not in ("bfloat16", "float32"):
+        return False
+    if D % H or L > 1024 or H * L > 4096:
+        return False
+    # VMEM (bwd): Qs/dOs/dQs (H·L, D) + S/P/dP (H·L, L) fp32 + IO blocks
+    Lp = -(-L // 128) * 128
+    vmem = 3 * H * L * D * 4 + 3 * H * L * Lp * 4
+    return vmem < 11 * 1024 * 1024
+
+
+def _masks(H: int, d: int, D: int, dtype):
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
+    return [(col // d == g).astype(dtype) for g in range(H)]
+
+
+def _spread_rows(x, masks):
+    """(L, D) → (H·L, D): row block g = x ∘ mask_g."""
+    return jnp.concatenate([x * m for m in masks], axis=0)
+
+
+def _collapse_rows(xs, L, masks):
+    """(H·L, D) → (L, D): Σ_g block_g ∘ mask_g."""
+    out = None
+    for g, m in enumerate(masks):
+        part = xs[g * L : (g + 1) * L, :] * m
+        out = part if out is None else out + part
+    return out
+
+
+def _softmax_rows(s):
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, H, d, L, scale):
+    D = H * d
+    masks = _masks(H, d, D, q_ref.dtype)
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    qs = _spread_rows(q, masks)  # (H·L, D)
+    s = jax.lax.dot_general(
+        qs, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (H·L, L)
+    p = _softmax_rows(s).astype(q_ref.dtype)
+    o_st = jax.lax.dot_general(
+        p, v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(jnp.float32)  # (H·L, D)
+    o_ref[0] = _collapse_rows(o_st, L, [m.astype(jnp.float32) for m in masks]).astype(
+        o_ref.dtype
+    )
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, H, d, L, scale):
+    D = H * d
+    masks = _masks(H, d, D, q_ref.dtype)
+    masks_f = [m.astype(jnp.float32) for m in masks]
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    qs = _spread_rows(q, masks)
+    s = jax.lax.dot_general(
+        qs, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = _softmax_rows(s)  # (H·L, L) fp32
+    pb = p.astype(q_ref.dtype)
+    dos = _spread_rows(g_ref[0], masks)  # (H·L, D)
+    # dV = Pᵀ dOs — direct natural layout
+    dv_ref[0] = jax.lax.dot_general(
+        pb, dos, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    # dP = dOs Vᵀ ; dS = P ∘ (dP − rowsum(dP ∘ P))
+    dp = jax.lax.dot_general(
+        dos, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(q_ref.dtype)
+    # dQs = dS K → collapse → dq (scale folded back)
+    dqs = jax.lax.dot_general(
+        ds, k_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0] = (_collapse_rows(dqs, L, masks_f) * scale).astype(dq_ref.dtype)
+    # dK = dSᵀ Qs — direct
+    dk_ref[0] = jax.lax.dot_general(
+        ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def mha_stacked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int):
+    """Head-stacked fused attention: (B, L, D) → (B, L, D) natural layout."""
+    return _fwd(q, k, v, num_heads)[0]
+
+
+def _specs(L, D):
+    return pl.BlockSpec((1, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _fwd(q, k, v, H):
+    B, L, D = q.shape
+    d = D // H
+    scale = 1.0 / (d**0.5)
+    spec = _specs(L, D)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, H=H, d=d, L=L, scale=scale),
+        grid=(B,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, L, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * L * L * d,
+            bytes_accessed=4 * B * L * D * q.dtype.itemsize,
+            transcendentals=B * H * L * L,
+        ),
+    )(q, k, v)
+    return out, (q, k, v)
+
+
+def _bwd(H, res, g):
+    q, k, v = res
+    B, L, D = q.shape
+    d = D // H
+    scale = 1.0 / (d**0.5)
+    spec = _specs(L, D)
+    shape = jax.ShapeDtypeStruct((B, L, D), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, H=H, d=d, L=L, scale=scale),
+        grid=(B,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * B * H * L * L * d,
+            bytes_accessed=7 * B * L * D * q.dtype.itemsize,
+            transcendentals=B * H * L * L,
+        ),
+    )(q, k, v, g)
+    return dq, dk, dv
+
+
+mha_stacked.defvjp(_fwd, _bwd)
