@@ -113,4 +113,6 @@ def evaluate_checkpoint(cfg: dict, checkpoint_path: str | Path, test_loader):
     results = trainer.test(test_loader)
     acc = results.get("test_acc")
     print(f"🔎 Test Accuracy: {acc}")
+    if "test_top5" in results:
+        print(f"🔎 Test Top-5 Accuracy: {results['test_top5']}")
     return acc

@@ -249,20 +249,28 @@ class ClassifierTask(Task):
         loss_sum, weight_sum = _weighted(per_ex, w)
         correct = (jnp.argmax(logits, axis=1) == labels).astype(jnp.float32)
         acc_sum = jnp.sum(correct * w)
+        k = min(5, logits.shape[-1])
+        _, top5_idx = jax.lax.top_k(logits, k)  # top-5 (BASELINE config 3)
+        in_top5 = jnp.any(top5_idx == labels[:, None], axis=1).astype(jnp.float32)
+        top5_sum = jnp.sum(in_top5 * w)
         loss = loss_sum / jnp.maximum(weight_sum, 1.0)
         return loss, {
             "loss_sum": loss_sum,
             "acc_sum": acc_sum,
+            "top5_sum": top5_sum,
             "weight_sum": weight_sum,
         }
 
     @staticmethod
     def epoch_metrics_from_sums(sums: Dict[str, float], prefix: str) -> Dict[str, float]:
         w = max(sums.get("weight_sum", 0.0), 1e-9)
-        return {
+        out = {
             f"{prefix}_loss": sums.get("loss_sum", 0.0) / w,
             f"{prefix}_acc": sums.get("acc_sum", 0.0) / w,
         }
+        if "top5_sum" in sums:
+            out[f"{prefix}_top5"] = sums["top5_sum"] / w
+        return out
 
 
 class MAETask(Task):
