@@ -119,7 +119,9 @@ class Trainer:
             n_steps = 0
             n_images = 0
             for batch in device_prefetch(
-                train_loader.epoch(epoch), batch_shardings
+                train_loader.epoch(epoch),
+                batch_shardings,
+                depth=getattr(train_loader, "prefetch_depth", 2),
             ):
                 self.state, step_sums = self.task.train_step(
                     self.state, batch, epoch, ctx
@@ -190,7 +192,11 @@ class Trainer:
         sums = None
         base_rng = jax.random.PRNGKey(EVAL_RNG_SEED)
         for i, batch in enumerate(
-            device_prefetch(loader.epoch(0), batch_shardings)
+            device_prefetch(
+                loader.epoch(0),
+                batch_shardings,
+                depth=getattr(loader, "prefetch_depth", 2),
+            )
         ):
             rng = jax.random.fold_in(base_rng, epoch * 100003 + i)
             s = self.task.eval_step(params, batch, rng, ctx, extra=extra)
