@@ -8,14 +8,21 @@ writing to ``outputs/train/mae_000_<k>``.
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 from pathlib import Path
 
 import yaml
 
-BASE_CONFIG = Path("configs/mae.yaml")
-BUDGETS = [10, 25, 50, 100, 200, 300, 400]
+BASE_CONFIG = Path(os.environ.get("SSRL_ABLATION_CONFIG", "configs/mae.yaml"))
+# grid override for smoke tests / partial sweeps, e.g. SSRL_ABLATION_LABELS=4,8
+BUDGETS = [
+    int(x)
+    for x in os.environ.get(
+        "SSRL_ABLATION_LABELS", "10,25,50,100,200,300,400"
+    ).split(",")
+]
 
 
 def run_cmd(cmd: list[str]):

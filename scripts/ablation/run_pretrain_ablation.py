@@ -10,6 +10,7 @@ sweep on the first failure (reference ``:78-80``).
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
@@ -17,9 +18,15 @@ from pathlib import Path
 
 import yaml
 
-BASE_CONFIG = Path("configs/mae.yaml")
+BASE_CONFIG = Path(os.environ.get("SSRL_ABLATION_CONFIG", "configs/mae.yaml"))
 
-FRACTIONS = {"025": 0.25, "050": 0.50, "075": 0.75, "100": 1.00}
+# grid override for smoke tests / partial sweeps, e.g.
+# SSRL_ABLATION_FRACTIONS=0.25,1.0
+_fracs = [
+    float(x)
+    for x in os.environ.get("SSRL_ABLATION_FRACTIONS", "0.25,0.5,0.75,1.0").split(",")
+]
+FRACTIONS = {f"{int(round(f * 100)):03d}": f for f in _fracs}
 
 
 def main():

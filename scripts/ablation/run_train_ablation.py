@@ -13,6 +13,7 @@ viz/harvest tooling.
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
@@ -20,12 +21,19 @@ from pathlib import Path
 
 import yaml
 
-BASE_CONFIG: Path = Path("configs/mae.yaml")
+BASE_CONFIG: Path = Path(os.environ.get("SSRL_ABLATION_CONFIG", "configs/mae.yaml"))
 
+# grid overrides for smoke tests / partial sweeps
 PRETRAIN_FRACTIONS: dict[int, str] = {
-    100: "mae_100", 75: "mae_075", 50: "mae_050", 25: "mae_025",
+    int(x): f"mae_{int(x):03d}"
+    for x in os.environ.get("SSRL_ABLATION_FRACTIONS", "100,75,50,25").split(",")
 }
-LABELS_PER_CLASS: list[int] = [400, 300, 200, 100, 50, 25, 10]
+LABELS_PER_CLASS: list[int] = [
+    int(x)
+    for x in os.environ.get(
+        "SSRL_ABLATION_LABELS", "400,300,200,100,50,25,10"
+    ).split(",")
+]
 # (mode, freeze_encoder, unfreeze_last_layers, learning_rate)
 TRAIN_MODES: list[tuple[str, bool, int | None, float]] = [
     ("frozen", True, None, 3e-4),

@@ -8,11 +8,11 @@ Reference contract (``scripts/weight_utils/copy_ckpts.py:34-56``): copy each
 from __future__ import annotations
 
 import argparse
+import re
 import shutil
 from pathlib import Path
 
-FRACTIONS = ["000", "025", "050", "075", "100"]
-LABELS = [10, 25, 50, 100, 200, 300, 400]
+NAME_RE = re.compile(r"^mae_(\d{3})_(\d+)_(\w+)$")
 
 
 def main():
@@ -25,20 +25,23 @@ def main():
     dest = Path(args.dest_dir)
     dest.mkdir(parents=True, exist_ok=True)
     copied = 0
-    for frac in FRACTIONS:
-        for labels in LABELS:
-            src = (
-                Path(args.outputs_dir)
-                / f"mae_{frac}_{labels}_{args.mode}"
-                / "checkpoints"
-                / "best.ckpt"
-            )
-            if not src.exists():
-                continue
-            dst = dest / f"mae_{frac}_{labels}.ckpt"
-            shutil.copy2(src, dst)
-            copied += 1
-            print(f"📦 {src} → {dst}")
+    # also harvest the random-init baseline runs (mae_000_<k>, no mode suffix)
+    for run_dir in sorted(Path(args.outputs_dir).iterdir()):
+        m = NAME_RE.match(run_dir.name)
+        baseline = re.match(r"^mae_000_(\d+)$", run_dir.name)
+        if m and m.group(3) == args.mode:
+            frac, labels = m.group(1), m.group(2)
+        elif baseline:
+            frac, labels = "000", baseline.group(1)
+        else:
+            continue
+        src = run_dir / "checkpoints" / "best.ckpt"
+        if not src.exists():
+            continue
+        dst = dest / f"mae_{frac}_{labels}.ckpt"
+        shutil.copy2(src, dst)
+        copied += 1
+        print(f"📦 {src} → {dst}")
     print(f"✅ Copied {copied} checkpoints to {dest}")
 
 
