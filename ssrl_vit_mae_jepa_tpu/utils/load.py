@@ -32,6 +32,11 @@ def _native_params(path) -> Tuple[dict, dict]:
 def load_any(path: str | Path):
     """→ ("native", params, meta) | ("torch", flat_state_dict, {})."""
     path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(
+            f"❌ Checkpoint not found: {path} — expected a native .ckpt, a "
+            "torch .pt/.ckpt, or a weights export (see scripts.weight_utils)"
+        )
     if is_native_checkpoint(path):
         params, meta = _native_params(path)
         return "native", params, meta
