@@ -23,6 +23,10 @@ BASELINE_IMAGES_PER_S = 11900.0
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--task", type=str, default="mae", choices=["mae", "jepa", "classifier"],
+        help="which training step to benchmark (headline metric: mae)",
+    )
     parser.add_argument("--batch-size", type=int, default=2048)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
@@ -38,7 +42,8 @@ def main():
 
     from ssrl_vit_mae_jepa_tpu.config import DEFAULTS
     from ssrl_vit_mae_jepa_tpu.parallel.mesh import get_mesh
-    from ssrl_vit_mae_jepa_tpu.training.tasks import MAETask
+    from ssrl_vit_mae_jepa_tpu.training.jepa_task import JEPATask
+    from ssrl_vit_mae_jepa_tpu.training.tasks import ClassifierTask, MAETask
     from ssrl_vit_mae_jepa_tpu.training.trainer import Trainer
 
     B = args.batch_size
@@ -49,7 +54,17 @@ def main():
         "base_learning_rate": 1.5e-4, "weight_decay": 0.05,
         "augment": args.augment,
     }
-    task = MAETask(DEFAULTS["model"], pre_cfg, attn_impl=args.attn_impl)
+    if args.task == "mae":
+        task = MAETask(DEFAULTS["model"], pre_cfg, attn_impl=args.attn_impl)
+    elif args.task == "jepa":
+        jepa_cfg = {**DEFAULTS["jepa"], "batch_size": B, "augment": args.augment}
+        task = JEPATask(DEFAULTS["model"], jepa_cfg, attn_impl=args.attn_impl)
+    else:
+        train_cfg = {**DEFAULTS["train"], "batch_size": B, "freeze_encoder": False}
+        task = ClassifierTask(
+            DEFAULTS["model"], train_cfg, attn_impl=args.attn_impl,
+            augment=args.augment,
+        )
     trainer = Trainer(
         task, max_epochs=1, output_dir="/tmp/ssrl_bench", mesh=mesh,
         enable_checkpointing=False,
@@ -63,7 +78,9 @@ def main():
             rng.integers(0, 256, (B, 96, 96, 3)).astype(np.uint8),
             shardings["image"],
         ),
-        "label": jax.device_put(np.full((B,), -1, np.int32), shardings["label"]),
+        "label": jax.device_put(
+            rng.integers(0, 10, B).astype(np.int32), shardings["label"]
+        ),
         "weight": jax.device_put(np.ones((B,), np.float32), shardings["weight"]),
     }
     ctx = task.epoch_context(0)
@@ -90,9 +107,11 @@ def main():
     images_per_s = B * args.steps / dt
     n_chips = jax.device_count()
     result = {
-        "metric": "mae_pretrain_images_per_sec",
+        "metric": f"{args.task}_pretrain_images_per_sec"
+        if args.task != "classifier" else "classifier_train_images_per_sec",
         "value": round(images_per_s, 1),
         "unit": "images/s",
+        # the published reference baseline exists only for MAE pretraining
         "vs_baseline": round(images_per_s / BASELINE_IMAGES_PER_S, 3),
         "batch_size": B,
         "steps": args.steps,
