@@ -51,6 +51,7 @@ class Trainer:
         log_every_n_steps: int = 2,
         enable_checkpointing: bool = True,
         hyper_parameters: Optional[Dict[str, Any]] = None,
+        ckpt_backend: str = "native",
     ):
         self.task = task
         self.max_epochs = max_epochs
@@ -67,6 +68,7 @@ class Trainer:
                 monitor=monitor or task.monitor,
                 mode=monitor_mode or task.monitor_mode,
                 periodic_every=periodic_ckpt_every,
+                backend=ckpt_backend,
             )
             if enable_checkpointing
             else None
@@ -217,8 +219,13 @@ class Trainer:
         return save_checkpoint(path, self.state, meta)
 
     def _resume(self, path: str | Path) -> int:
+        from ssrl_vit_mae_jepa_tpu.utils.orbax_io import is_orbax_checkpoint, load_orbax
+
         target = self.state
-        state, meta = load_checkpoint(path, target=target)
+        if is_orbax_checkpoint(path):
+            state, meta = load_orbax(path, target=target)
+        else:
+            state, meta = load_checkpoint(path, target=target)
         self.state = self._place_state(state)
         self.global_step = int(meta.get("global_step", 0))
         if self.callbacks is not None:

@@ -125,6 +125,7 @@ class CheckpointCallbacks:
         mode: str = "min",
         periodic_every: Optional[int] = None,
         save_last: bool = True,
+        backend: str = "native",
     ):
         self.ckpt_dir = Path(ckpt_dir)
         self.monitor = monitor
@@ -133,6 +134,14 @@ class CheckpointCallbacks:
         self.save_last = save_last
         self.best_score: Optional[float] = None
         self.best_path: Optional[Path] = None
+        if backend == "orbax":
+            from ssrl_vit_mae_jepa_tpu.utils.orbax_io import save_orbax
+
+            self._save = save_orbax
+        elif backend == "native":
+            self._save = save_checkpoint
+        else:
+            raise ValueError(f"unknown checkpoint backend {backend!r}")
 
     def _improved(self, score: float) -> bool:
         if self.best_score is None:
@@ -165,17 +174,17 @@ class CheckpointCallbacks:
         if score is not None and self._improved(float(score)):
             self.best_score = float(score)
             meta["callbacks"]["best_model_score"] = self.best_score
-            p = save_checkpoint(self.ckpt_dir / "best.ckpt", state, meta)
+            p = self._save(self.ckpt_dir / "best.ckpt", state, meta)
             self.best_path = p
             saved.append(p)
         if self.save_last:
-            saved.append(save_checkpoint(self.ckpt_dir / "last.ckpt", state, meta))
+            saved.append(self._save(self.ckpt_dir / "last.ckpt", state, meta))
         if self.periodic_every and (epoch + 1) % self.periodic_every == 0:
             w_state = weights_only_state if weights_only_state is not None else state
             w_meta = dict(meta)
             w_meta["weights_only"] = weights_only_state is not None
             saved.append(
-                save_checkpoint(
+                self._save(
                     self.ckpt_dir / f"epoch-{epoch:03d}.ckpt", w_state, w_meta
                 )
             )
