@@ -23,10 +23,7 @@ probe / fine-tune CLI consumes JEPA checkpoints unchanged.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ssrl_vit_mae_jepa_tpu.models.mae import MAEDecoder

@@ -18,7 +18,7 @@ All indices returned are PATCH-space [0, N); callers add the CLS offset.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

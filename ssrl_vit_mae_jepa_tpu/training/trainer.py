@@ -19,8 +19,6 @@ from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ssrl_vit_mae_jepa_tpu.data.pipeline import HostLoader, device_prefetch

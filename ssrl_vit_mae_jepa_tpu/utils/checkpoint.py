@@ -14,7 +14,6 @@ epochs. Torch ``.pt``/``.ckpt`` files are detected by content and routed to
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import zipfile

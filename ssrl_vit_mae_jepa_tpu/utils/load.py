@@ -11,7 +11,7 @@ the ablation drivers chain stages across either format transparently.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
