@@ -81,12 +81,13 @@ def _crop_resize_one(
     )
 
 
-@partial(jax.jit, static_argnames=("out_size", "scale", "dtype"))
+@partial(jax.jit, static_argnames=("out_size", "scale", "ratio", "dtype"))
 def random_resized_crop_flip_normalize(
     rng: jax.Array,
     images_u8: jnp.ndarray,
     out_size: int = 96,
     scale: Tuple[float, float] = (0.8, 1.0),
+    ratio: Tuple[float, float] = DEFAULT_RATIO,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Train-time augmentation: (B, H, W, C) uint8 → (B, out, out, C) in [-1, 1]."""
@@ -96,7 +97,7 @@ def random_resized_crop_flip_normalize(
     images = normalize(images_u8, dtype=jnp.float32)
 
     def aug_one(key, img):
-        top, left, h, w = _sample_crop_params(key, H, W, scale)
+        top, left, h, w = _sample_crop_params(key, H, W, scale, ratio)
         return _crop_resize_one(img, top, left, h, w, (out_size, out_size))
 
     out = jax.vmap(aug_one)(crop_keys, images)

@@ -161,3 +161,72 @@ class TestSchedules:
         assert mask_ratio_at_epoch(100, 0.5, 0.85, 5) == pytest.approx(0.85)
         # constant ramp (start == end) stays constant
         assert mask_ratio_at_epoch(3, 0.75, 0.75, 5) == pytest.approx(0.75)
+
+
+class TestAugmentGeometry:
+    """Exactness properties of the on-device RandomResizedCrop."""
+
+    def test_identity_when_scale_one(self, rng):
+        """scale=(1,1), aspect forced square → crop is the full image →
+        bilinear resample must be the identity."""
+        from ssrl_vit_mae_jepa_tpu.ops import augment as A
+
+        imgs = jnp.asarray(
+            np.random.default_rng(5).integers(0, 256, (3, 96, 96, 3), dtype=np.uint8)
+        )
+        out = np.asarray(
+            A.random_resized_crop_flip_normalize(
+                rng, imgs, scale=(1.0, 1.0), ratio=(1.0, 1.0)
+            )
+        )
+        expected = np.asarray(imgs).astype(np.float32) * 2 / 255 - 1
+        flipped = expected[:, :, ::-1, :]
+        for i in range(3):
+            ok = np.allclose(out[i], expected[i], atol=1e-4) or np.allclose(
+                out[i], flipped[i], atol=1e-4
+            )
+            assert ok, f"image {i}: identity crop not exact (max err "\
+                f"{min(np.abs(out[i]-expected[i]).max(), np.abs(out[i]-flipped[i]).max())})"
+
+    def test_constant_image_invariant(self, rng):
+        """Any crop/resize of a constant image must stay constant —
+        catches resampling weights that don't sum to 1."""
+        from ssrl_vit_mae_jepa_tpu.ops.augment import random_resized_crop_flip_normalize
+
+        imgs = jnp.full((4, 96, 96, 3), 100, jnp.uint8)
+        out = np.asarray(random_resized_crop_flip_normalize(rng, imgs))
+        np.testing.assert_allclose(out, 100 * 2 / 255 - 1, atol=1e-3)
+
+    def test_flip_rate_near_half(self):
+        from ssrl_vit_mae_jepa_tpu.ops.augment import random_resized_crop_flip_normalize
+
+        rng0 = np.random.default_rng(0)
+        imgs = np.zeros((256, 96, 96, 3), np.uint8)
+        imgs[:, :, :48, :] = 255  # left half white
+        out = np.asarray(
+            random_resized_crop_flip_normalize(
+                jax.random.PRNGKey(11), jnp.asarray(imgs), scale=(0.99, 1.0)
+            )
+        )
+        left_bright = out[:, :, :20, :].mean(axis=(1, 2, 3))
+        right_bright = out[:, :, -20:, :].mean(axis=(1, 2, 3))
+        flip_frac = float((right_bright > left_bright).mean())
+        assert 0.35 < flip_frac < 0.65, flip_frac
+
+    def test_crop_zooms_in(self, rng):
+        """At scale 0.8 the crop should (usually) magnify content: a centered
+        disk should cover more output pixels on average than input pixels."""
+        from ssrl_vit_mae_jepa_tpu.ops.augment import random_resized_crop_flip_normalize
+
+        yy, xx = np.mgrid[:96, :96]
+        disk = ((yy - 48) ** 2 + (xx - 48) ** 2 < 30**2)
+        img = np.where(disk[..., None], 255, 0).astype(np.uint8)
+        imgs = jnp.asarray(np.tile(img[None], (64, 1, 1, 1)))
+        out = np.asarray(
+            random_resized_crop_flip_normalize(
+                jax.random.PRNGKey(3), imgs, scale=(0.8, 0.8)
+            )
+        )
+        frac_in = disk.mean()
+        frac_out = (out > 0).mean()
+        assert frac_out > frac_in * 1.05, (frac_in, frac_out)
