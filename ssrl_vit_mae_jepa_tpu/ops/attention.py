@@ -1,17 +1,19 @@
-"""Multi-head attention: XLA path + fused Pallas TPU kernel.
+"""Multi-head attention dispatch: XLA path + fused Pallas TPU kernels.
 
 Replaces the torch SDPA/cuDNN attention the reference reaches through timm
 (reference ``src/models/mae.py:28-36`` via ``timm`` blocks). Sequences here
 are tiny (37 kept tokens for the masked MAE encoder, 145 for the decoder /
-classifier — SURVEY.md §5.7), so the fused kernel keeps the whole (L, L)
-score matrix in VMEM and wins by *batch blocking* and fusing the softmax
-between the two matmuls; there is no need for flash-style KV tiling.
+classifier — SURVEY.md §5.7); three implementations exist, in order of
+construction (measured lineage in docs/PERFORMANCE.md):
 
-`impl` selection:
-- "xla": plain jnp einsum attention (always correct, differentiable; XLA
-  already fuses scale+softmax into the matmuls well),
-- "pallas": fused Pallas kernel with a custom VJP,
-- "auto": pallas on TPU when shapes are supported, else XLA.
+- ``mha_xla``: einsum attention on (B, H, L, d) — always correct, the CPU/
+  test path and the parity reference,
+- ``attention_pallas.mha_pallas``: per-head fused kernel, VMEM-resident
+  scores (first kernel; kept for ablation via ``impl="pallas"``),
+- ``attention_pallas_stacked.mha_stacked``: the production kernel — all
+  heads in one GEMM pair per image on the natural (B, L, H·d) layout
+  (``mha_natural`` below; the model's ``impl="auto"`` uses it on TPU and
+  ``impl="packed"`` forces it, e.g. under interpret mode in tests).
 """
 
 from __future__ import annotations
