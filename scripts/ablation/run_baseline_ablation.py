@@ -1,68 +1,54 @@
-"""Baseline ablation: random-init ViT (no pretraining) across label budgets.
+"""Supervised-from-scratch baseline sweep over label budgets.
 
-Same external behavior as the reference ``scripts/ablation/
-run_baseline_ablation.py``: trains ``scripts.training.train_mae`` WITHOUT any
-checkpoint flags (→ random-init full fine-tune branch) for each label budget,
-writing to ``outputs/train/mae_000_<k>``.
+Behavioral contract (SURVEY.md §3.4; reference behavior at
+``scripts/ablation/run_baseline_ablation.py`` — rewritten here from the
+contract, not the text): for each labels-per-class budget, train a
+random-init ViT classifier — ``scripts.training.train_mae`` with NO
+checkpoint flags, full fine-tune (encoder unfrozen, no
+``unfreeze_last_layers``) — writing to ``<outputs>/train/mae_000_<k>`` so the
+"0% pretraining" row slots into the same harvest/viz naming scheme as the
+MAE runs. Each run's derived config is persisted inside its own output dir;
+completed runs (best.ckpt present) are skipped.
+
+Grid override: ``SSRL_ABLATION_LABELS``; base config via
+``SSRL_ABLATION_CONFIG``.
 """
 
 from __future__ import annotations
 
-import os
-import subprocess
-import sys
-from pathlib import Path
-
-import yaml
-
-BASE_CONFIG = Path(os.environ.get("SSRL_ABLATION_CONFIG", "configs/mae.yaml"))
-# grid override for smoke tests / partial sweeps, e.g. SSRL_ABLATION_LABELS=4,8
-BUDGETS = [
-    int(x)
-    for x in os.environ.get(
-        "SSRL_ABLATION_LABELS", "10,25,50,100,200,300,400"
-    ).split(",")
-]
+from scripts.ablation import common
 
 
-def run_cmd(cmd: list[str]):
-    print("\n" + "=" * 80)
-    print("📣 Running command:")
-    print(" ".join(cmd))
-    print("=" * 80)
-    subprocess.run(cmd, check=True)
+def sweep(label_budgets: list[int]) -> None:
+    base = common.load_base_config()
 
+    for labels in label_budgets:
+        suffix = f"mae_000_{labels}"
+        cfg = common.derive_config(base, "train", {
+            "samples_per_class": labels,
+            "freeze_encoder": False,
+            "unfreeze_last_layers": None,
+        })
+        run_dir = common.outputs_root(cfg) / "train" / suffix
+        cfg_path = common.write_config(cfg, run_dir / "config.yaml")
+        print(f"[baseline-ablation] labels/class={labels} config={cfg_path}")
 
-def main():
-    for k in BUDGETS:
-        print(f"\n\n🚀 Starting BASELINE run with {k} samples per class\n")
-
-        cfg = yaml.safe_load(BASE_CONFIG.read_text())
-        cfg["train"]["samples_per_class"] = k
-        cfg["train"]["freeze_encoder"] = False
-        cfg["train"].pop("unfreeze_last_layers", None)
-
-        suffix = f"mae_000_{k}"
-        out_dir = Path("outputs") / "train" / suffix
-        out_dir.mkdir(parents=True, exist_ok=True)
-        cfg_path = out_dir / "config.yaml"
-        with open(cfg_path, "w") as f:
-            yaml.safe_dump(cfg, f)
-        print(f"📝 Saved config for this run: {cfg_path}")
-
-        if (out_dir / "checkpoints" / "best.ckpt").exists():
-            print(f"⏩ SKIPPING {suffix} (already done)")
+        if common.best_checkpoint(cfg, "train", suffix).exists():
+            print(f"[baseline-ablation] {suffix} already done — skipping")
             continue
 
-        cmd = [
-            sys.executable, "-m", "scripts.training.train_mae",
-            "--config", str(cfg_path),
-            "--output_dir_suffix", suffix,
-            # no --encoder_ckpt / --classifier_ckpt → random-init baseline
-        ]
-        run_cmd(cmd)
+        code = common.launch("scripts.training.train_mae", cfg_path, suffix)
+        if code != 0:
+            raise SystemExit(
+                f"[baseline-ablation] {suffix} FAILED (exit {code})")
+        print(f"[baseline-ablation] {suffix} done")
 
-    print("\n🎉 Baseline ablation complete!")
+    print("Baseline ablation complete")
+
+
+def main() -> None:
+    sweep(common.grid_from_env("SSRL_ABLATION_LABELS",
+                               "10,25,50,100,200,300,400", int))
 
 
 if __name__ == "__main__":

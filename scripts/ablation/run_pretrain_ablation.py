@@ -1,76 +1,56 @@
-"""Pretraining ablation driver over unlabeled-data fractions.
+"""MAE pretraining sweep over unlabeled-data fractions.
 
-Same external behavior as the reference ``scripts/ablation/
-run_pretrain_ablation.py``: sweeps ``data_fraction`` ∈ {25, 50, 75, 100}%,
-writes a derived config ``configs/mae_<suffix>.yaml`` per run, skips runs
-whose ``best.ckpt`` already exists (idempotent resume, reference ``:57-59``),
-launches ``scripts.training.pretrain_mae`` as a subprocess, and stops the
-sweep on the first failure (reference ``:78-80``).
+Behavioral contract (SURVEY.md §3.4; reference behavior at
+``scripts/ablation/run_pretrain_ablation.py`` — rewritten here from the
+contract, not the text): sweep ``pretrain.data_fraction`` over
+{25, 50, 75, 100}%, one ``scripts.training.pretrain_mae`` subprocess per
+fraction writing to ``<outputs>/pretrain/mae_<NNN>/``; persist each derived
+config as ``configs/mae_<NNN>.yaml``; skip fractions whose best checkpoint
+already exists (resumable sweep); abort the remaining fractions on the first
+failed run — downstream sweeps chain off these checkpoints, so continuing
+past a failure would waste the whole grid.
+
+Override the grid with ``SSRL_ABLATION_FRACTIONS`` (floats, e.g. "0.25,1.0")
+and the base config with ``SSRL_ABLATION_CONFIG``.
 """
 
 from __future__ import annotations
 
-import os
-import subprocess
-import sys
-import time
 from pathlib import Path
 
-import yaml
-
-BASE_CONFIG = Path(os.environ.get("SSRL_ABLATION_CONFIG", "configs/mae.yaml"))
-
-# grid override for smoke tests / partial sweeps, e.g.
-# SSRL_ABLATION_FRACTIONS=0.25,1.0
-_fracs = [
-    float(x)
-    for x in os.environ.get("SSRL_ABLATION_FRACTIONS", "0.25,0.5,0.75,1.0").split(",")
-]
-FRACTIONS = {f"{int(round(f * 100)):03d}": f for f in _fracs}
+from scripts.ablation import common
 
 
-def main():
-    if not BASE_CONFIG.exists():
-        raise FileNotFoundError(f"Base config not found: {BASE_CONFIG}")
-    base_cfg = yaml.safe_load(BASE_CONFIG.read_text())
+def fraction_suffix(fraction: float) -> str:
+    """0.25 → 'mae_025', 1.0 → 'mae_100' (zero-padded percent)."""
+    return f"mae_{int(round(fraction * 100)):03d}"
 
-    for suffix, frac in FRACTIONS.items():
-        print("\n" + "=" * 80)
-        print(f"🚀 Starting pretrain run for {int(frac * 100)}% unlabeled data")
-        print("=" * 80 + "\n")
 
-        cfg = yaml.safe_load(BASE_CONFIG.read_text())  # deep fresh copy
-        cfg["pretrain"]["data_fraction"] = float(frac)
+def sweep(fractions: list[float]) -> None:
+    base = common.load_base_config()
 
-        output_dir_suffix = f"mae_{suffix}"
-        cfg_path = Path(f"configs/mae_{suffix}.yaml")
-        with open(cfg_path, "w") as f:
-            yaml.safe_dump(cfg, f)
-        print(f"📝 Saved modified config: {cfg_path}")
+    for fraction in fractions:
+        suffix = fraction_suffix(fraction)
+        cfg = common.derive_config(base, "pretrain", {"data_fraction": float(fraction)})
+        cfg_path = common.write_config(cfg, Path("configs") / f"{suffix}.yaml")
+        print(f"[pretrain-ablation] fraction={fraction:g} config={cfg_path}")
 
-        output_dir = (
-            Path(base_cfg["logging"]["output_dir_base"])
-            / "pretrain"
-            / output_dir_suffix
-        )
-        if (output_dir / "checkpoints" / "best.ckpt").exists():
-            print(f"⏭️ Existing checkpoint found at {output_dir}, skipping...\n")
+        if common.best_checkpoint(cfg, "pretrain", suffix).exists():
+            print(f"[pretrain-ablation] {suffix} already has best.ckpt — skipping")
             continue
 
-        cmd = [
-            sys.executable, "-m", "scripts.training.pretrain_mae",
-            "--config", str(cfg_path),
-            "--output_dir_suffix", output_dir_suffix,
-        ]
-        print(f"💻 Running command: {' '.join(cmd)}\n")
-        result = subprocess.run(cmd)
-        if result.returncode != 0:
-            print(f"❌ Training for fraction {frac} failed. Stopping.")
+        code = common.launch("scripts.training.pretrain_mae", cfg_path, suffix)
+        if code != 0:
+            print(f"[pretrain-ablation] {suffix} FAILED (exit {code}); "
+                  "aborting remaining fractions")
             break
-        print(f"✅ Finished pretraining for {int(frac * 100)}% unlabeled data\n")
-        time.sleep(1)
+        print(f"[pretrain-ablation] {suffix} done")
 
-    print("\n🎉 All requested pretraining experiments completed!")
+    print("All requested pretraining experiments completed")
+
+
+def main() -> None:
+    sweep(common.grid_from_env("SSRL_ABLATION_FRACTIONS", "0.25,0.5,0.75,1.0", float))
 
 
 if __name__ == "__main__":

@@ -1,129 +1,112 @@
-"""Downstream fine-tuning ablation driver (the 112-run grid).
+"""Downstream fine-tuning sweep: fraction × label budget × fine-tune mode.
 
-Same external behavior as the reference ``scripts/ablation/
-run_train_ablation.py``: for each pretrain fraction × label budget, runs the
-four fine-tuning stages in a CHAIN — ``frozen`` loads the pretrain best via
-``--encoder_ckpt``; ``unfreeze1`` / ``unfreeze2`` / ``full`` each load the
-previous stage's best via ``--classifier_ckpt`` (reference ``:73-91``) —
-with the per-mode learning rates (frozen 3e-4, unfreeze1 1e-4, unfreeze2
-5e-5, full 5e-5; reference ``:35-40``), skip-if-done, and continue-on-error.
-Output dirs follow the ``mae_<frac>_<labels>_<mode>`` scheme consumed by the
-viz/harvest tooling.
+Behavioral contract (SURVEY.md §3.4; reference behavior at
+``scripts/ablation/run_train_ablation.py:24-40,73-91`` — rewritten here from
+the contract, not the text):
+
+  * grid = pretrain fraction {100, 75, 50, 25} × labels/class
+    {400, 300, 200, 100, 50, 25, 10} × mode {frozen, unfreeze1, unfreeze2,
+    full}, run in that nesting order;
+  * the four modes CHAIN within a (fraction, labels) cell: ``frozen`` starts
+    from the pretrain best via ``--encoder_ckpt``; each later mode starts from
+    the previous mode's best classifier via ``--classifier_ckpt``;
+  * per-mode hyperparameters: frozen → encoder frozen, lr 3e-4; unfreeze1 →
+    last 1 block trainable, lr 1e-4; unfreeze2 → last 2 blocks, lr 5e-5;
+    full → everything trainable, lr 5e-5 (``unfreeze_last_layers`` must be
+    absent from the config for frozen/full);
+  * output dirs are ``<outputs>/train/mae_<frac>_<labels>_<mode>`` — the
+    naming scheme the harvest/viz tooling globs for;
+  * a cell whose best.ckpt exists is skipped; a cell whose input checkpoint
+    is missing, or whose subprocess fails, is reported and the sweep moves on
+    (unlike the pretrain sweep, one broken cell only invalidates the rest of
+    its own chain).
+
+Grid overrides: ``SSRL_ABLATION_FRACTIONS`` (ints, e.g. "100"),
+``SSRL_ABLATION_LABELS``; base config via ``SSRL_ABLATION_CONFIG``.
 """
 
 from __future__ import annotations
 
-import os
-import subprocess
-import sys
-import time
+from dataclasses import dataclass
 from pathlib import Path
 
-import yaml
-
-BASE_CONFIG: Path = Path(os.environ.get("SSRL_ABLATION_CONFIG", "configs/mae.yaml"))
-
-# grid overrides for smoke tests / partial sweeps
-PRETRAIN_FRACTIONS: dict[int, str] = {
-    int(x): f"mae_{int(x):03d}"
-    for x in os.environ.get("SSRL_ABLATION_FRACTIONS", "100,75,50,25").split(",")
-}
-LABELS_PER_CLASS: list[int] = [
-    int(x)
-    for x in os.environ.get(
-        "SSRL_ABLATION_LABELS", "400,300,200,100,50,25,10"
-    ).split(",")
-]
-# (mode, freeze_encoder, unfreeze_last_layers, learning_rate)
-TRAIN_MODES: list[tuple[str, bool, int | None, float]] = [
-    ("frozen", True, None, 3e-4),
-    ("unfreeze1", False, 1, 1e-4),
-    ("unfreeze2", False, 2, 5e-5),
-    ("full", False, None, 5e-5),
-]
-
-STAGE_INPUT = {
-    "frozen": lambda frac_name, labels: Path(
-        f"outputs/pretrain/{frac_name}/checkpoints/best.ckpt"
-    ),
-    "unfreeze1": lambda frac_name, labels: Path(
-        f"outputs/train/{frac_name}_{labels}_frozen/checkpoints/best.ckpt"
-    ),
-    "unfreeze2": lambda frac_name, labels: Path(
-        f"outputs/train/{frac_name}_{labels}_unfreeze1/checkpoints/best.ckpt"
-    ),
-    "full": lambda frac_name, labels: Path(
-        f"outputs/train/{frac_name}_{labels}_unfreeze2/checkpoints/best.ckpt"
-    ),
-}
+from scripts.ablation import common
 
 
-def run(cmd: list[str]) -> None:
-    print("\n🚀 Running:", " ".join(cmd))
-    subprocess.run(cmd, check=True)
+@dataclass(frozen=True)
+class Mode:
+    name: str
+    learning_rate: float
+    freeze_encoder: bool
+    unfreeze_last_layers: int | None  # None → key absent from the config
+    follows: str | None  # previous stage in the chain; None → pretrain ckpt
+
+
+CHAIN: tuple[Mode, ...] = (
+    Mode("frozen",    3e-4, True,  None, follows=None),
+    Mode("unfreeze1", 1e-4, False, 1,    follows="frozen"),
+    Mode("unfreeze2", 5e-5, False, 2,    follows="unfreeze1"),
+    Mode("full",      5e-5, False, None, follows="unfreeze2"),
+)
+
+
+def run_name(frac_pct: int, labels: int, mode_name: str) -> str:
+    return f"mae_{frac_pct:03d}_{labels}_{mode_name}"
+
+
+def input_checkpoint(cfg: dict, frac_pct: int, labels: int, mode: Mode) -> Path:
+    """The checkpoint this stage trains from (pretrain best or previous stage)."""
+    if mode.follows is None:
+        return common.best_checkpoint(cfg, "pretrain", f"mae_{frac_pct:03d}")
+    return common.best_checkpoint(cfg, "train",
+                                  run_name(frac_pct, labels, mode.follows))
+
+
+def run_cell(base: dict, frac_pct: int, labels: int, mode: Mode) -> None:
+    suffix = run_name(frac_pct, labels, mode.name)
+    cfg = common.derive_config(base, "train", {
+        "samples_per_class": labels,
+        "learning_rate": mode.learning_rate,
+        "freeze_encoder": mode.freeze_encoder,
+        "unfreeze_last_layers": mode.unfreeze_last_layers,
+    })
+
+    if common.best_checkpoint(cfg, "train", suffix).exists():
+        print(f"[train-ablation] {suffix} already done — skipping")
+        return
+
+    source = input_checkpoint(cfg, frac_pct, labels, mode)
+    if not source.exists():
+        print(f"[train-ablation] {suffix}: input checkpoint missing ({source}) "
+              "— skipping this stage")
+        return
+
+    ckpt_flag = "--encoder_ckpt" if mode.follows is None else "--classifier_ckpt"
+    cfg_path = common.write_config(cfg, Path("configs") / f"tmp_{suffix}.yaml")
+    code = common.launch("scripts.training.train_mae", cfg_path, suffix,
+                         (ckpt_flag, str(source)))
+    if code != 0:
+        print(f"[train-ablation] {suffix} FAILED (exit {code}); continuing sweep")
+        return
+    cfg_path.unlink(missing_ok=True)
+    print(f"[train-ablation] {suffix} done")
+
+
+def sweep(fractions: list[int], label_budgets: list[int]) -> None:
+    base = common.load_base_config()
+    for frac_pct in fractions:
+        for labels in label_budgets:
+            print(f"[train-ablation] cell: fraction={frac_pct}% labels={labels}")
+            for mode in CHAIN:
+                run_cell(base, frac_pct, labels, mode)
+    print("ALL DOWNSTREAM ABLATIONS COMPLETED")
 
 
 def main() -> None:
-    print("===============================================")
-    print("🔥 MAE Downstream Ablation Runner")
-    print("===============================================")
-
-    for frac, frac_name in PRETRAIN_FRACTIONS.items():
-        print(f"\n\n=============================")
-        print(f"📦 PRETRAIN FRACTION = {frac}%")
-        print("=============================\n")
-
-        for labels in LABELS_PER_CLASS:
-            print(f"\n----- 🎯 LABELS PER CLASS = {labels} -----")
-
-            for mode_name, freeze_flag, unfreeze_layers, lr in TRAIN_MODES:
-                ckpt = STAGE_INPUT[mode_name](frac_name, labels)
-                if not ckpt.exists():
-                    print(f"❌ ERROR: Missing checkpoint at: {ckpt}")
-                    continue
-
-                suffix = f"{frac_name}_{labels}_{mode_name}"
-                best = Path("outputs/train") / suffix / "checkpoints" / "best.ckpt"
-                if best.exists():
-                    print(f"⏩ SKIPPING {suffix} (already done)")
-                    continue
-
-                # fresh deep config per run (the reference's shallow base_cfg
-                # .copy() leaks nested mutations across iterations — quirk Q9)
-                cfg: dict = yaml.safe_load(BASE_CONFIG.read_text())
-                cfg["train"]["samples_per_class"] = labels
-                cfg["train"]["freeze_encoder"] = freeze_flag
-                cfg["train"]["learning_rate"] = lr
-                if not freeze_flag and unfreeze_layers is not None and mode_name != "full":
-                    cfg["train"]["unfreeze_last_layers"] = unfreeze_layers
-                else:
-                    cfg["train"].pop("unfreeze_last_layers", None)
-
-                tmp_cfg = Path(f"configs/tmp_{suffix}.yaml")
-                with open(tmp_cfg, "w") as f:
-                    yaml.safe_dump(cfg, f)
-                print(f"\n📝 Created config {tmp_cfg}")
-
-                ckpt_arg = (
-                    "--encoder_ckpt" if mode_name == "frozen" else "--classifier_ckpt"
-                )
-                cmd = [
-                    sys.executable, "-m", "scripts.training.train_mae",
-                    "--config", str(tmp_cfg),
-                    ckpt_arg, str(ckpt),
-                    "--output_dir_suffix", suffix,
-                ]
-                try:
-                    run(cmd)
-                except subprocess.CalledProcessError:
-                    print(f"❌ ERROR during training: {suffix}")
-                    continue
-                time.sleep(1)
-                tmp_cfg.unlink(missing_ok=True)
-
-    print("\n\n===============================================")
-    print("🎉 ALL DOWNSTREAM ABLATIONS COMPLETED!")
-    print("===============================================")
+    sweep(
+        common.grid_from_env("SSRL_ABLATION_FRACTIONS", "100,75,50,25", int),
+        common.grid_from_env("SSRL_ABLATION_LABELS", "400,300,200,100,50,25,10", int),
+    )
 
 
 if __name__ == "__main__":

@@ -1,9 +1,11 @@
 """Classifier evaluation CLI on the STL-10 test split.
 
-Same contract as the reference ``scripts/evaluation/evaluate_classifier.py``:
-``--config / --checkpoint`` flags, checkpoint defaulting to
-``outputs/train/<suffix>/checkpoints/best.ckpt`` (reference ``:45-54``),
-delegation to ``evaluate_checkpoint``. Reports top-1 and top-5.
+Contract (SURVEY.md §3.3; reference behavior at
+``scripts/evaluation/evaluate_classifier.py:30-54``): ``--config`` /
+``--checkpoint`` flags; when no checkpoint is given, fall back to
+``<outputs>/train/<suffix>/checkpoints/best.ckpt`` derived from the config;
+delegate scoring to ``scripts.utils.evaluate_checkpoint`` (which accepts all
+four checkpoint flavors). Reports top-1 and top-5 accuracy.
 """
 
 from __future__ import annotations
@@ -21,44 +23,33 @@ shut_down_warnings()
 setup_reproducibility(seed=73)
 
 
-def parse_args():
+def default_checkpoint(cfg: dict) -> Path:
+    """Best checkpoint of the training run this config describes."""
+    suffix = cfg["train"].get("output_dir_suffix", "default")
+    root = Path(cfg["logging"]["output_dir_base"])
+    return root / "train" / suffix / "checkpoints" / "best.ckpt"
+
+
+def main() -> None:
     parser = argparse.ArgumentParser(
-        description="Evaluate MAE classifier on STL-10 test set"
-    )
-    parser.add_argument("--config", type=str, default="configs/mae.yaml")
+        description="Score a trained ViT classifier on the STL-10 test set")
+    parser.add_argument("--config", default="configs/mae.yaml")
     parser.add_argument(
-        "--checkpoint", type=str, default=None,
-        help="Path to checkpoint (.ckpt) — defaults to best.ckpt in training output dir",
-    )
-    return parser.parse_args()
-
-
-def main():
-    args = parse_args()
+        "--checkpoint", default=None,
+        help="checkpoint to evaluate (.ckpt or .pt); defaults to the "
+             "config's training run's best.ckpt")
+    args = parser.parse_args()
 
     from ssrl_vit_mae_jepa_tpu.config import load_config
     from ssrl_vit_mae_jepa_tpu.data.loaders import get_test_dataloader
 
     cfg = load_config(args.config)
-    log_cfg = cfg["logging"]
-    train_cfg = cfg["train"]
-
+    ckpt = args.checkpoint or str(default_checkpoint(cfg))
     if args.checkpoint is None:
-        default_ckpt = (
-            Path(log_cfg["output_dir_base"])
-            / "train"
-            / train_cfg.get("output_dir_suffix", "default")
-            / "checkpoints"
-            / "best.ckpt"
-        )
-        args.checkpoint = str(default_ckpt)
-        print(f"🧩 Using default checkpoint: {args.checkpoint}")
+        print(f"No --checkpoint given; evaluating {ckpt}")
 
-    test_loader = get_test_dataloader(cfg)
-    acc = evaluate_checkpoint(cfg, args.checkpoint, test_loader)
-
-    print("\n✅ Evaluation complete")
-    print(f"📈 Accuracy: {acc}")
+    accuracy = evaluate_checkpoint(cfg, ckpt, get_test_dataloader(cfg))
+    print(f"Evaluation complete — accuracy: {accuracy}")
 
 
 if __name__ == "__main__":
