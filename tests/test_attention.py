@@ -116,3 +116,100 @@ class TestPackedKernel:
         with pltpu.force_tpu_interpret_mode():
             out = vit_p.apply(params, x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestStackedKernel:
+    """Direct parity for the PRODUCTION head-stacked kernel (mha_stacked).
+
+    The model's production shapes are the masked-encoder sequence
+    (L=37, H=6, d=24) and the decoder/classifier sequence (L=145, H=6,
+    d=32); both are covered forward AND backward, in fp32 and bf16
+    (interpret mode on CPU; real-TPU numerics are covered by
+    tests/smoke_tpu.py and training convergence in docs/RESULTS.md).
+    """
+
+    PROD_SHAPES = [(2, 37, 6, 24), (2, 145, 6, 32), (3, 17, 2, 8)]
+
+    @pytest.mark.parametrize("B,L,H,d", PROD_SHAPES)
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_forward(self, B, L, H, d, dtype):
+        from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_stacked import mha_stacked
+
+        D = H * d
+        q, k, v = (_rand((B, L, D), s, dtype) for s in range(3))
+        ref = _ref_natural(q, k, v, H)
+        with pltpu.force_tpu_interpret_mode():
+            out = mha_stacked(q, k, v, H)
+        atol = 2e-5 if dtype == jnp.float32 else 1e-2
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=atol
+        )
+
+    @pytest.mark.parametrize("B,L,H,d", PROD_SHAPES)
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_backward(self, B, L, H, d, dtype):
+        from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_stacked import mha_stacked
+
+        D = H * d
+        q, k, v = (_rand((B, L, D), s, dtype) for s in range(3))
+        g = _rand((B, L, D), 7, dtype)
+        ref_grads = jax.grad(
+            lambda a, b, c: jnp.sum(_ref_natural(a, b, c, H) * g), argnums=(0, 1, 2)
+        )(q, k, v)
+        with pltpu.force_tpu_interpret_mode():
+            pal_grads = jax.grad(
+                lambda a, b, c: jnp.sum(mha_stacked(a, b, c, H) * g),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+        # bf16 tolerance: both sides accumulate dots in fp32, but P/dS are
+        # rounded to bf16 before the second GEMM; measured max abs error at
+        # these shapes is ≤0.016 (unit-normal inputs).
+        atol = 1e-4 if dtype == jnp.float32 else 2.5e-2
+        for name, a, b in zip("qkv", ref_grads, pal_grads):
+            np.testing.assert_allclose(
+                np.asarray(b, np.float32), np.asarray(a, np.float32),
+                atol=atol, err_msg=f"d{name} mismatch at L={L} d={d} {dtype}",
+            )
+
+    def test_supported_boundaries(self):
+        from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_stacked import supported
+
+        # production shapes (B, H, L, D=H*d)
+        assert supported(2048, 6, 37, 144, "bfloat16")
+        assert supported(2048, 6, 145, 192, "float32")
+        assert not supported(4, 6, 37, 100, "bfloat16")   # D % H != 0
+        assert not supported(4, 4, 2048, 64, "bfloat16")  # L > 1024
+        assert not supported(4, 6, 1024, 144, "bfloat16")  # H*L > 4096
+        assert not supported(4, 6, 145, 192, "float16")   # unsupported dtype
+        assert not supported(4, 4, 1000, 512, "float32")  # VMEM working set
+
+    def test_whole_mae_backward_forced_stacked(self, rng):
+        """Gradients of the full MAE loss: forced-stacked ≡ XLA attention."""
+        from ssrl_vit_mae_jepa_tpu.models.mae import MaskedAutoencoder
+        from ssrl_vit_mae_jepa_tpu.ops.masking import random_token_mask
+
+        kw = dict(image_size=32, patch_size=8, embed_dim=48, depth=2,
+                  num_heads=4, decoder_embed_dim=24, decoder_depth=1,
+                  decoder_num_heads=2, dtype=jnp.float32)
+        images = _rand((2, 32, 32, 3), 11)
+        idx_keep, idx_mask = random_token_mask(jax.random.PRNGKey(3), 2, 17, 8)
+
+        def loss(params, model):
+            pred, target = model.apply(params, images, idx_keep, idx_mask)
+            return jnp.mean((pred - target) ** 2)
+
+        mae_x = MaskedAutoencoder(attn_impl="xla", **kw)
+        params = mae_x.init(rng, images, idx_keep, idx_mask)
+        ref_grads = jax.grad(loss)(params, mae_x)
+        mae_s = MaskedAutoencoder(attn_impl="packed", **kw)
+        with pltpu.force_tpu_interpret_mode():
+            stacked_grads = jax.grad(loss)(params, mae_s)
+
+        flat_ref = jax.tree_util.tree_leaves_with_path(ref_grads)
+        flat_st = jax.tree_util.tree_leaves(stacked_grads)
+        assert len(flat_ref) == len(flat_st)
+        for (path, a), b in zip(flat_ref, flat_st):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=5e-5,
+                err_msg=jax.tree_util.keystr(path),
+            )
