@@ -65,12 +65,19 @@ def main():
     )
     trainer.fit(train_loader, val_loader, resume_from=args.resume_from)
 
+    # terminal artifact: a torch-readable state dict with reference names
+    # (reference :133-134 torch.save contract); native fallback if torch absent
+    from ssrl_vit_mae_jepa_tpu.utils.torch_interop import export_reference_weights
+
     model_path = output_dir / log_cfg["model_path"]
-    save_checkpoint(
-        model_path,
-        {"params": trainer.state.params},
-        {"kind": "mae_weights", "hyper_parameters": trainer.hyper_parameters},
-    )
+    import jax
+
+    if not export_reference_weights(model_path, jax.device_get(trainer.state.params)):
+        save_checkpoint(
+            model_path,
+            {"params": trainer.state.params},
+            {"kind": "mae_weights", "hyper_parameters": trainer.hyper_parameters},
+        )
     print("\n✅ Pretraining complete")
     print(f"📦 Model weights saved to: {model_path}")
     print(f"🏁 Best checkpoint: {trainer.callbacks.best_path}")

@@ -2,8 +2,11 @@
 
 Reference contract (``scripts/weight_utils/extract_weights.py:12-30``): for
 every ``.ckpt`` in ``assets/weights/``, write a ``.pt`` containing only the
-model weights. Here: native checkpoints lose optimizer/rng state; torch
-checkpoints are converted to native weight files on the way.
+model weights — a torch-readable state dict with reference names. Native
+trainer checkpoints lose optimizer/rng state and are exported through the
+two-way interop (``utils/torch_interop.py``); torch checkpoints just shed
+their Lightning wrapper. Falls back to a native weights file when torch is
+not importable.
 """
 
 from __future__ import annotations
@@ -23,17 +26,15 @@ def extract(ckpt_path: Path, out_path: Path, depth: int, decoder_depth: int):
     if is_native_checkpoint(ckpt_path):
         state, meta = load_checkpoint(ckpt_path)
         params = state["params"] if "params" in state else state
-        save_checkpoint(
-            out_path, {"params": params},
-            {"kind": "weights", "hyper_parameters": meta.get("hyper_parameters", {})},
-        )
+        if not ti.export_reference_weights(out_path, params):
+            save_checkpoint(
+                out_path, {"params": params},
+                {"kind": "weights",
+                 "hyper_parameters": meta.get("hyper_parameters", {})},
+            )
     else:
-        flat = ti.load_torch_state_dict(ckpt_path)
-        if any(k.startswith(("decoder.", "model.decoder.")) for k in flat):
-            params, _ = ti.mae_state_to_params(flat, depth, decoder_depth)
-        else:
-            params, _ = ti.classifier_state_to_params(flat, depth)
-        save_checkpoint(out_path, {"params": params}, {"kind": "weights"})
+        flat = ti.load_torch_state_dict(ckpt_path)  # unwraps Lightning state_dict
+        ti.save_torch_state_dict(flat, out_path)
     print(f"✅ {ckpt_path} → {out_path}")
 
 

@@ -217,59 +217,161 @@ def classifier_state_to_params(
 
 # ---------------------------------------------------------------------------
 # flax params → reference-style (torch-named) state dicts
+#
+# The inverse direction walks the SAME entry tables used for import, so the
+# two directions cannot drift: for every (torch_key, flax_path, transform)
+# row we read the flax leaf, invert the layout transform, and emit the torch
+# key. This makes a rebuilt ``vit-mae.pt`` loadable by the reference's torch
+# stack (``torch.save(model.state_dict())`` contract at reference
+# ``scripts/training/pretrain_mae.py:133-134`` / ``train_mae.py:222-223``).
 # ---------------------------------------------------------------------------
 
-def _flatten(tree: dict, prefix="") -> Dict[str, np.ndarray]:
-    out = {}
-    for k, v in tree.items():
-        key = f"{prefix}{k}" if not prefix else f"{prefix}/{k}"
-        if isinstance(v, dict):
-            out.update(_flatten(v, key))
-        else:
-            out[key] = np.asarray(v)
-    return out
+def _get(tree: dict, path: List[str]):
+    node = tree
+    for p in path:
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    return node
 
 
-def vit_params_to_timm_state(params: dict) -> Dict[str, np.ndarray]:
-    """Inverse mapping (export): flax ViT params → timm-named state dict."""
-    flat = _flatten(params)
+def _vit_entries(depth: int):
+    entries = [
+        ("cls_token", ["cls_token"], None),
+        ("pos_embed", ["pos_embed"], None),
+        ("patch_embed.proj.weight", ["patch_embed", "kernel"], "patch"),
+        ("patch_embed.proj.bias", ["patch_embed", "bias"], None),
+        ("norm.weight", ["norm", "scale"], None),
+        ("norm.bias", ["norm", "bias"], None),
+    ]
+    for i in range(depth):
+        entries += _block_entries(i, "blocks", f"blocks_{i}")
+    return entries
+
+
+def _decoder_entries(depth: int):
+    entries = [
+        ("decoder_embed.weight", ["decoder_embed", "kernel"], "T"),
+        ("decoder_embed.bias", ["decoder_embed", "bias"], None),
+        ("mask_token", ["mask_token"], None),
+        ("decoder_pos_embed", ["decoder_pos_embed"], None),
+        ("decoder_norm.weight", ["decoder_norm", "scale"], None),
+        ("decoder_norm.bias", ["decoder_norm", "bias"], None),
+        ("decoder_pred.weight", ["decoder_pred", "kernel"], "T"),
+        ("decoder_pred.bias", ["decoder_pred", "bias"], None),
+    ]
+    for i in range(depth):
+        entries += _block_entries(i, "decoder_blocks", f"decoder_blocks_{i}")
+    return entries
+
+
+def _infer_depth(params: dict, block_prefix: str) -> int:
+    return sum(1 for k in params if k.startswith(block_prefix))
+
+
+def _export_entries(
+    params: dict, entries, in_chans: int = 3
+) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
-    for k, v in flat.items():
-        parts = k.split("/")
-        if parts[0] == "cls_token":
-            out["cls_token"] = v
-        elif parts[0] == "pos_embed":
-            out["pos_embed"] = v
-        elif parts[0] == "patch_embed":
-            if parts[1] == "kernel":
-                D = v.shape[1]
-                # (p*p*C, D) → (D, C, p, p); C-major flatten inverse
-                C = 3
-                p2 = v.shape[0] // C
-                p = int(round(p2**0.5))
-                out["patch_embed.proj.weight"] = np.ascontiguousarray(
-                    v.T.reshape(D, C, p, p)
-                )
-            else:
-                out["patch_embed.proj.bias"] = v
-        elif parts[0] == "norm":
-            out["norm." + ("weight" if parts[1] == "scale" else "bias")] = v
-        elif parts[0].startswith("blocks_"):
-            i = parts[0].split("_")[1]
-            sub = parts[1]
-            if sub in ("norm1", "norm2"):
-                nm = "weight" if parts[2] == "scale" else "bias"
-                out[f"blocks.{i}.{sub}.{nm}"] = v
-            elif sub == "attn":
-                layer = parts[2]
-                if parts[3] == "kernel":
-                    out[f"blocks.{i}.attn.{layer}.weight"] = np.ascontiguousarray(v.T)
-                else:
-                    out[f"blocks.{i}.attn.{layer}.bias"] = v
-            elif sub == "mlp":
-                layer = parts[2]
-                if parts[3] == "kernel":
-                    out[f"blocks.{i}.mlp.{layer}.weight"] = np.ascontiguousarray(v.T)
-                else:
-                    out[f"blocks.{i}.mlp.{layer}.bias"] = v
+    for torch_key, flax_path, tform in entries:
+        v = _get(params, flax_path)
+        if v is None:
+            raise KeyError(
+                f"export: flax param {'/'.join(flax_path)} (→ {torch_key}) missing"
+            )
+        v = np.asarray(v, dtype=np.float32)
+        if tform == "T":
+            v = np.ascontiguousarray(v.T)
+        elif tform == "patch":
+            # invert the C-major flatten of the patchify-matmul kernel:
+            # (p*p*C, D) → (D, C, p, p)
+            p2c, D = v.shape
+            p = int(round((p2c // in_chans) ** 0.5))
+            v = np.ascontiguousarray(v.T.reshape(D, in_chans, p, p))
+        out[torch_key] = v
     return out
+
+
+def vit_params_to_timm_state(
+    params: dict, in_chans: int = 3
+) -> Dict[str, np.ndarray]:
+    """Export: flax ViT params → timm-named state dict (torch layouts)."""
+    depth = _infer_depth(params, "blocks_")
+    return _export_entries(params, _vit_entries(depth), in_chans)
+
+
+def decoder_params_to_lightly_state(params: dict) -> Dict[str, np.ndarray]:
+    """Export: flax MAEDecoder params → lightly MAEDecoderTIMM state dict."""
+    depth = _infer_depth(params, "decoder_blocks_")
+    return _export_entries(params, _decoder_entries(depth))
+
+
+def mae_params_to_state(params: dict, in_chans: int = 3) -> Dict[str, np.ndarray]:
+    """Export: MaskedAutoencoder params → the reference's ``vit-mae.pt`` names.
+
+    Layout matches ``MaskedAutoencoder.state_dict()`` in the reference
+    (``src/models/mae.py:15-52``): the encoder is lightly's
+    ``MaskedVisionTransformerTIMM`` (timm keys under ``encoder.vit.`` plus an
+    encoder-level ``mask_token`` that the MAE forward never uses — emitted as
+    zeros so strict torch loading succeeds), the decoder is
+    ``MAEDecoderTIMM`` under ``decoder.``.
+    """
+    enc = vit_params_to_timm_state(params["encoder"], in_chans)
+    dec = decoder_params_to_lightly_state(params["decoder"])
+    out = {f"encoder.vit.{k}": v for k, v in enc.items()}
+    embed_dim = enc["cls_token"].shape[-1]
+    out["encoder.mask_token"] = np.zeros((1, 1, embed_dim), np.float32)
+    out.update({f"decoder.{k}": v for k, v in dec.items()})
+    return out
+
+
+def classifier_params_to_state(
+    params: dict, in_chans: int = 3
+) -> Dict[str, np.ndarray]:
+    """Export: ViTClassifier params → the reference's classifier names
+    (``encoder.*`` timm keys + ``head.classification.{weight,bias}``,
+    reference ``src/models/classifier.py:25-57``)."""
+    enc = vit_params_to_timm_state(params["encoder"], in_chans)
+    out = {f"encoder.{k}": v for k, v in enc.items()}
+    head = params["head"]["classification"]
+    out["head.classification.weight"] = np.ascontiguousarray(
+        np.asarray(head["kernel"], dtype=np.float32).T
+    )
+    out["head.classification.bias"] = np.asarray(head["bias"], dtype=np.float32)
+    return out
+
+
+def export_reference_weights(path: str | Path, params: dict) -> bool:
+    """Write ``params`` as the reference's torch-readable terminal artifact.
+
+    Auto-detects the model kind from the tree (``decoder`` → MAE,
+    ``head`` → classifier, else bare encoder) and ``torch.save``s the
+    reference-named state dict. Returns False (no file written) when torch
+    is not importable, so callers can fall back to a native checkpoint.
+    """
+    try:
+        import torch  # noqa: F401
+    except ImportError:  # pragma: no cover
+        return False
+    if "decoder" in params:
+        state = mae_params_to_state(params)
+    elif "head" in params:
+        state = classifier_params_to_state(params)
+    else:
+        state = vit_params_to_timm_state(params.get("encoder", params))
+    save_torch_state_dict(state, path)
+    return True
+
+
+def save_torch_state_dict(state: Dict[str, np.ndarray], path: str | Path) -> None:
+    """``torch.save`` a {name: array} dict as real torch tensors."""
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "writing torch checkpoints requires torch (cpu) to be installed"
+        ) from e
+    torch.save(
+        {k: torch.from_numpy(np.array(v, copy=True)) for k, v in state.items()},
+        str(path),
+    )

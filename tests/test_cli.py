@@ -95,6 +95,13 @@ class TestEndToEnd:
         assert (pre_dir / "checkpoints" / "last.ckpt").exists()
         assert (pre_dir / "config.yaml").exists()
         assert (pre_dir / "vit-mae.pt").exists()
+        # the terminal artifact is the reference's torch-readable state dict
+        import torch
+
+        exported = torch.load(pre_dir / "vit-mae.pt", map_location="cpu",
+                              weights_only=True)
+        assert "encoder.vit.cls_token" in exported
+        assert any(k.startswith("decoder.decoder_blocks.") for k in exported)
         metrics = [
             json.loads(line)
             for line in (pre_dir / "metrics.jsonl").read_text().splitlines()

@@ -69,6 +69,42 @@ def make_timm_state(rng, prefix=""):
     return {prefix + k: v.astype(np.float32) for k, v in s.items()}
 
 
+def make_decoder_state(rng, dd=40, prefix="decoder."):
+    """Synthetic lightly-MAEDecoderTIMM-named state dict (torch layouts)."""
+    r = np.random.default_rng(rng)
+    s = {
+        "decoder_embed.weight": r.normal(0, 0.05, (dd, D)),
+        "decoder_embed.bias": np.zeros(dd),
+        "mask_token": r.normal(0, 0.02, (1, 1, dd)),
+        "decoder_pos_embed": r.normal(0, 0.02, (1, 17, dd)),
+        "decoder_norm.weight": np.ones(dd),
+        "decoder_norm.bias": np.zeros(dd),
+        "decoder_pred.weight": r.normal(0, 0.05, (P * P * 3, dd)),
+        "decoder_pred.bias": np.zeros(P * P * 3),
+        "decoder_blocks.0.norm1.weight": np.ones(dd),
+        "decoder_blocks.0.norm1.bias": np.zeros(dd),
+        "decoder_blocks.0.attn.qkv.weight": r.normal(0, 0.05, (3 * dd, dd)),
+        "decoder_blocks.0.attn.qkv.bias": np.zeros(3 * dd),
+        "decoder_blocks.0.attn.proj.weight": r.normal(0, 0.05, (dd, dd)),
+        "decoder_blocks.0.attn.proj.bias": np.zeros(dd),
+        "decoder_blocks.0.norm2.weight": np.ones(dd),
+        "decoder_blocks.0.norm2.bias": np.zeros(dd),
+        "decoder_blocks.0.mlp.fc1.weight": r.normal(0, 0.05, (4 * dd, dd)),
+        "decoder_blocks.0.mlp.fc1.bias": np.zeros(4 * dd),
+        "decoder_blocks.0.mlp.fc2.weight": r.normal(0, 0.05, (dd, 4 * dd)),
+        "decoder_blocks.0.mlp.fc2.bias": np.zeros(dd),
+    }
+    return {prefix + k: v.astype(np.float32) for k, v in s.items()}
+
+
+def make_mae_state(rng):
+    """Reference-named full MAE state dict: encoder.vit.* + encoder.mask_token
+    + decoder.* (the torch.save(model.state_dict()) layout)."""
+    enc = {"encoder.vit." + k: v for k, v in make_timm_state(rng + 1).items()}
+    enc["encoder.mask_token"] = np.zeros((1, 1, D), np.float32)
+    return {**enc, **make_decoder_state(rng)}
+
+
 def torch_vit_forward_features(state, x_nchw):
     """Independent torch implementation of the timm forward_features contract."""
     t = {k: torch.from_numpy(v) for k, v in state.items()}
@@ -207,33 +243,7 @@ class TestCheckpointRouting:
 
     def test_mae_state_from_torch(self, tmp_path):
         """Full MAE state dict with encoder.vit.* + decoder.* keys."""
-        r = np.random.default_rng(7)
-        dd = 40
-        dec = {
-            "decoder.decoder_embed.weight": r.normal(0, 0.05, (dd, D)),
-            "decoder.decoder_embed.bias": np.zeros(dd),
-            "decoder.mask_token": r.normal(0, 0.02, (1, 1, dd)),
-            "decoder.decoder_pos_embed": r.normal(0, 0.02, (1, 17, dd)),
-            "decoder.decoder_norm.weight": np.ones(dd),
-            "decoder.decoder_norm.bias": np.zeros(dd),
-            "decoder.decoder_pred.weight": r.normal(0, 0.05, (P * P * 3, dd)),
-            "decoder.decoder_pred.bias": np.zeros(P * P * 3),
-        }
-        b = "decoder.decoder_blocks.0."
-        dec.update({
-            b + "norm1.weight": np.ones(dd), b + "norm1.bias": np.zeros(dd),
-            b + "attn.qkv.weight": r.normal(0, 0.05, (3 * dd, dd)),
-            b + "attn.qkv.bias": np.zeros(3 * dd),
-            b + "attn.proj.weight": r.normal(0, 0.05, (dd, dd)),
-            b + "attn.proj.bias": np.zeros(dd),
-            b + "norm2.weight": np.ones(dd), b + "norm2.bias": np.zeros(dd),
-            b + "mlp.fc1.weight": r.normal(0, 0.05, (4 * dd, dd)),
-            b + "mlp.fc1.bias": np.zeros(4 * dd),
-            b + "mlp.fc2.weight": r.normal(0, 0.05, (dd, 4 * dd)),
-            b + "mlp.fc2.bias": np.zeros(dd),
-        })
-        enc = {"encoder.vit." + k: v for k, v in make_timm_state(8).items()}
-        state = {k: v.astype(np.float32) for k, v in {**enc, **dec}.items()}
+        state = make_mae_state(7)
         torch.save({k: torch.from_numpy(v) for k, v in state.items()},
                    tmp_path / "vit-mae.pt")
         params, report = mae_params_from_checkpoint(tmp_path / "vit-mae.pt", DEPTH, 1)
@@ -242,6 +252,112 @@ class TestCheckpointRouting:
         from ssrl_vit_mae_jepa_tpu.ops.masking import random_token_mask
 
         idx_keep, idx_mask = random_token_mask(jax.random.PRNGKey(0), 2, 17, 12)
+        r = np.random.default_rng(7)
         x = jnp.asarray(r.normal(0, 1, (2, IMG, IMG, 3)).astype(np.float32))
         pred, target = mae.apply({"params": params}, x, idx_keep, idx_mask)
         assert pred.shape == (2, 12, P * P * 3)
+
+
+class TestTorchExport:
+    """Two-way interop: native params → reference-named torch state dicts."""
+
+    def test_mae_roundtrip_torch_native_torch(self):
+        """torch → native → torch is bitwise on every name and value (the
+        encoder-level mask_token excepted: unused by the MAE forward, it is
+        not represented natively and exports as zeros)."""
+        original = make_mae_state(11)
+        params, report = ti.mae_state_to_params(original, DEPTH, 1)
+        assert not report["missing"], report["missing"]
+        exported = ti.mae_params_to_state(params)
+        assert set(exported) == set(original)
+        for k in original:
+            if k == "encoder.mask_token":
+                continue
+            np.testing.assert_array_equal(exported[k], original[k], err_msg=k)
+
+    def test_classifier_roundtrip(self):
+        state = {"encoder." + k: v for k, v in make_timm_state(12).items()}
+        r = np.random.default_rng(13)
+        state["head.classification.weight"] = r.normal(0, 0.02, (10, D)).astype(
+            np.float32)
+        state["head.classification.bias"] = np.zeros(10, np.float32)
+        params, report = ti.classifier_state_to_params(state, DEPTH)
+        assert not report["missing"], report["missing"]
+        exported = ti.classifier_params_to_state(params)
+        assert set(exported) == set(state)
+        for k in state:
+            np.testing.assert_array_equal(exported[k], state[k], err_msg=k)
+
+    def test_convert_to_torch_cli_plain_torch_load(self, tmp_path, rng):
+        """A natively-trained MAE checkpoint converts to a vit-mae.pt that a
+        plain torch stack loads, and the exported encoder reproduces the flax
+        forward through the independent torch golden."""
+        from scripts.weight_utils.convert_to_torch import convert
+        from ssrl_vit_mae_jepa_tpu.ops.masking import random_token_mask
+
+        mae = mae_from_config(MODEL_CFG, dtype=jnp.float32)
+        idx_keep, idx_mask = random_token_mask(rng, 1, 17, 12)
+        params = mae.init(rng, jnp.zeros((1, IMG, IMG, 3)), idx_keep, idx_mask)[
+            "params"]
+        native = tmp_path / "best.ckpt"
+        save_checkpoint(native, {"params": params}, {"epoch": 1})
+
+        out = tmp_path / "vit-mae.pt"
+        kind = convert(native, out)
+        assert kind == "mae"
+
+        loaded = torch.load(out, map_location="cpu", weights_only=True)
+        assert all(isinstance(v, torch.Tensor) for v in loaded.values())
+        assert {k for k in loaded if k.startswith("decoder.")}, "no decoder keys"
+
+        enc_state = {k[len("encoder.vit."):]: v.numpy() for k, v in loaded.items()
+                     if k.startswith("encoder.vit.")}
+        x = np.random.default_rng(2).normal(0, 1, (2, 3, IMG, IMG)).astype(
+            np.float32)
+        golden = torch_vit_forward_features(enc_state, x)
+        vit = vit_from_config(MODEL_CFG, dtype=jnp.float32, attn_impl="xla")
+        ours = vit.apply({"params": jax.device_get(params)["encoder"]},
+                         jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(ours), golden, atol=2e-4)
+
+    def test_extract_weights_outputs_torch_readable(self, tmp_path, rng):
+        """extract_weights writes torch-readable .pt for native AND torch
+        inputs (the reference's assets/weights contract)."""
+        from scripts.weight_utils.extract_weights import extract
+        from ssrl_vit_mae_jepa_tpu.ops.masking import random_token_mask
+
+        mae = mae_from_config(MODEL_CFG, dtype=jnp.float32)
+        idx_keep, idx_mask = random_token_mask(rng, 1, 17, 12)
+        params = mae.init(rng, jnp.zeros((1, IMG, IMG, 3)), idx_keep, idx_mask)[
+            "params"]
+        native = tmp_path / "native.ckpt"
+        save_checkpoint(native, {"params": params, "opt_state": {"x": 1}}, {})
+        extract(native, tmp_path / "native.pt", DEPTH, 1)
+        out = torch.load(tmp_path / "native.pt", map_location="cpu",
+                         weights_only=True)
+        assert "encoder.vit.cls_token" in out and "opt_state" not in out
+
+        wrapped = {"state_dict": {"model.encoder.vit.cls_token":
+                                  torch.zeros(1, 1, D)}, "epoch": 3}
+        torch.save(wrapped, tmp_path / "wrapped.ckpt")
+        extract(tmp_path / "wrapped.ckpt", tmp_path / "wrapped.pt", DEPTH, 1)
+        out = torch.load(tmp_path / "wrapped.pt", map_location="cpu",
+                         weights_only=True)
+        assert set(out) == {"model.encoder.vit.cls_token"}
+
+    def test_convert_to_torch_cli_classifier_and_encoder_kinds(self, tmp_path, rng):
+        from scripts.weight_utils.convert_to_torch import convert
+
+        clf = classifier_from_config(MODEL_CFG, dtype=jnp.float32)
+        params = clf.init(rng, jnp.zeros((1, IMG, IMG, 3)))["params"]
+        native = tmp_path / "clf.ckpt"
+        save_checkpoint(native, {"params": params}, {})
+        assert convert(native, tmp_path / "clf.pt") == "classifier"
+        loaded = torch.load(tmp_path / "clf.pt", map_location="cpu",
+                            weights_only=True)
+        assert "head.classification.weight" in loaded
+        assert loaded["head.classification.weight"].shape == (10, D)
+
+        assert convert(native, tmp_path / "enc.pt", kind="encoder") == "encoder"
+        enc = torch.load(tmp_path / "enc.pt", map_location="cpu", weights_only=True)
+        assert "cls_token" in enc and "blocks.0.attn.qkv.weight" in enc
