@@ -67,11 +67,12 @@ def project_2d(feats, method="tsne", seed=73):
     if method == "umap":
         try:
             import umap  # optional; not in this image
-
-            return umap.UMAP(random_state=seed).fit_transform(feats)
-        except ImportError:
-            print("⚠️ umap-learn unavailable — falling back to t-SNE")
-            method = "tsne"
+        except ImportError as e:
+            raise SystemExit(
+                "--method umap requires the umap-learn package, which is not "
+                "installed; install it or pass --method tsne explicitly"
+            ) from e
+        return umap.UMAP(random_state=seed).fit_transform(feats)
     from sklearn.manifold import TSNE
 
     perplexity = min(30.0, max(2.0, (len(feats) - 1) / 3))

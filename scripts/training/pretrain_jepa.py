@@ -57,6 +57,7 @@ def main():
         max_epochs=jepa_cfg["total_epochs"],
         output_dir=output_dir,
         seed=cfg.get("seed", 73),
+        log_every_n_steps=log_cfg.get("log_every_n_steps"),
         periodic_ckpt_every=25,
         hyper_parameters={"model_cfg": model_cfg, "training_cfg": jepa_cfg},
     )

@@ -102,6 +102,7 @@ def main():
         max_epochs=train_cfg["total_epochs"],
         output_dir=output_dir,
         seed=cfg.get("seed", 73),
+        log_every_n_steps=log_cfg.get("log_every_n_steps"),
         hyper_parameters={"model_cfg": model_cfg, "training_cfg": train_cfg},
     )
     trainer.init_state(params_override)

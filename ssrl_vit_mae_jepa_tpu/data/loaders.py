@@ -5,9 +5,9 @@
 (quirks Q4/Q5 preserved; see ``data.stl10``). Transform handling differs
 deliberately: the reference mutates the *shared* dataset transform so its
 train subsets silently lose augmentation (quirk Q1, ``src/data.py:76-81``);
-here augmentation is applied on-device by the training task, and
-``augment_train`` lets parity experiments reproduce the reference's
-effective no-augmentation behavior (``compat_q1`` convenience flag).
+here the loaders only move uint8 pixels — augmentation happens on-device in
+the training task, controlled by the task's config (``pretrain.augment``),
+so a parity experiment reproduces quirk Q1 by setting that flag to false.
 """
 
 from __future__ import annotations

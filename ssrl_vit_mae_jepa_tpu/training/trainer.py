@@ -46,7 +46,7 @@ class Trainer:
         monitor: Optional[str] = None,
         monitor_mode: Optional[str] = None,
         periodic_ckpt_every: Optional[int] = None,
-        log_every_n_steps: int = 2,
+        log_every_n_steps: Optional[int] = None,
         enable_checkpointing: bool = True,
         hyper_parameters: Optional[Dict[str, Any]] = None,
         ckpt_backend: str = "native",
@@ -136,6 +136,18 @@ class Trainer:
                 n_steps += 1
                 n_images += batch["image"].shape[0]
                 self.global_step += 1
+                # step-granularity logging (reference logs every 2 steps,
+                # pretrain_mae.py:122). Off by default: each record costs a
+                # host sync, and the epoch loop otherwise syncs only once.
+                if (
+                    self.log_every_n_steps
+                    and self.global_step % self.log_every_n_steps == 0
+                ):
+                    step_metrics = self.task.epoch_metrics_from_sums(
+                        jax.device_get(step_sums), "train"
+                    )
+                    self.logger.log(step_metrics, step=self.global_step,
+                                    epoch=epoch)
             # one host sync per epoch
             sums = {} if sums is None else jax.device_get(sums)
             dt = time.time() - t0

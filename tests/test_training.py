@@ -119,6 +119,30 @@ class TestClassifierTraining:
         assert (tmp_path / "out/checkpoints/best.ckpt").exists()
         assert (tmp_path / "out/checkpoints/last.ckpt").exists()
 
+    def test_step_granularity_logging(self, synthetic_stl10_dir, tmp_path):
+        """log_every_n_steps writes per-step train records to metrics.jsonl
+        (reference logs every 2 steps, pretrain_mae.py:122); off by default."""
+        import json
+
+        cfg = small_cfg(freeze_encoder=True, total_epochs=1)
+        train, val = get_train_dataloaders(cfg, data_dir=synthetic_stl10_dir)
+        task = ClassifierTask(cfg["model"], cfg["train"], dtype=jnp.float32)
+        trainer = Trainer(task, 1, tmp_path / "steps", log_every_n_steps=2,
+                          enable_checkpointing=False)
+        trainer.fit(train, val)
+        records = [json.loads(x) for x in
+                   (tmp_path / "steps/metrics.jsonl").read_text().splitlines()]
+        step_records = [r for r in records
+                        if "train_loss" in r and "epoch_time_s" not in r]
+        assert step_records, "no per-step records written"
+        assert all(r["step"] % 2 == 0 for r in step_records)
+        # default: per-epoch record only
+        t2 = Trainer(task, 1, tmp_path / "nosteps", enable_checkpointing=False)
+        t2.fit(train, val)
+        records = [json.loads(x) for x in
+                   (tmp_path / "nosteps/metrics.jsonl").read_text().splitlines()]
+        assert all("epoch_time_s" in r for r in records if "train_loss" in r)
+
     def test_test_split_evaluation(self, synthetic_stl10_dir, tmp_path):
         cfg = small_cfg(freeze_encoder=True)
         task = ClassifierTask(cfg["model"], cfg["train"], dtype=jnp.float32)

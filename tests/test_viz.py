@@ -88,6 +88,17 @@ class TestRepresentation:
         xy = project_2d(feats[:30], method="tsne")
         assert xy.shape == (30, 2)
 
+    def test_umap_fails_loudly_when_absent(self):
+        """--method umap must not silently degrade to t-SNE."""
+        import importlib.util
+
+        from scripts.evaluation.visualize_representation import project_2d
+
+        if importlib.util.find_spec("umap") is not None:
+            pytest.skip("umap-learn installed; loud-failure path not reachable")
+        with pytest.raises(SystemExit, match="umap-learn"):
+            project_2d(np.zeros((10, 4), np.float32), method="umap")
+
     def test_mean_pool_excludes_cls(self, small_cfg, mae_ckpt, synthetic_stl10_dir):
         """Viz mean pool excludes CLS (quirk Q6) — differs from classifier."""
         from scripts.evaluation.visualize_representation import extract_features
