@@ -69,6 +69,9 @@ DEFAULTS: Dict[str, Any] = {
         "target_scale": [0.15, 0.2],
         "target_aspect_ratio": [0.75, 1.5],
         "context_scale": [0.85, 1.0],
+        # "complement": uniform sample of the non-target patches;
+        # "block": I-JEPA contiguous square context block minus targets
+        "context_sampling": "complement",
         "ema_start": 0.996,
         "ema_end": 1.0,
     },

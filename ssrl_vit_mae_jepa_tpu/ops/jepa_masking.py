@@ -8,10 +8,15 @@ the configured aspect-ratio range, plus a uniform-random top-left corner:
 
 - every target block covers exactly ``block_area`` patches (counts static),
 - blocks may overlap (as in I-JEPA),
-- the context is a fixed-size uniform sample of ``context_size`` patches
-  from the complement of the target union (I-JEPA's contiguous context block
-  minus targets yields variable counts; the fixed-count complement sample is
-  the static-shape substitute, documented deliberately).
+- the context is a fixed count of ``context_size`` patches, drawn by one of
+  two samplers (I-JEPA's contiguous context block minus targets yields
+  variable counts, so both are fixed-count static-shape adaptations):
+  * ``complement`` — uniform sample of the complement of the target union;
+  * ``block`` — I-JEPA-faithful: a square context block with scale sampled
+    from ``context_scale`` (paper: 0.85–1.0, unit aspect), minus the target
+    union; drawn as a priority sample that prefers in-block non-target
+    patches and falls back to out-of-block non-target patches only when the
+    block minus targets is smaller than ``context_size``.
 
 All indices returned are PATCH-space [0, N); callers add the CLS offset.
 """
@@ -57,6 +62,8 @@ def sample_jepa_masks(
     block_area: int,
     context_size: int,
     aspect_range: Tuple[float, float] = (0.75, 1.5),
+    context_sampling: str = "complement",
+    context_scale: Tuple[float, float] = (0.85, 1.0),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """→ (target_idx (B, num_blocks·block_area), ctx_idx (B, context_size)),
     patch-space indices."""
@@ -84,12 +91,41 @@ def sample_jepa_masks(
     yx = top_left[:, :, None, :] + block_offs
     target_idx = (yx[..., 0] * grid_size + yx[..., 1]).reshape(batch_size, -1)
 
-    # context: fixed-size random sample of the complement of the target union
+    # context: fixed-count priority sample. Lowest priority wins a slot;
+    # targets carry a large penalty so they are picked only if fewer than
+    # context_size non-target patches exist (impossible by construction of
+    # context_size in the task).
     is_target = (
         jnp.zeros((batch_size, N), jnp.float32)
         .at[jnp.arange(batch_size)[:, None], target_idx]
         .set(1.0)
     )
-    priority = jax.random.uniform(k_ctx, (batch_size, N)) + is_target * 10.0
+    priority = jax.random.uniform(k_ctx, (batch_size, N)) + is_target * 20.0
+    if context_sampling == "block":
+        # contiguous square context block (I-JEPA: scale 0.85-1.0, aspect 1):
+        # membership is a static-shape coordinate test, so the rectangle size
+        # can vary freely per sample. Out-of-block patches get a medium
+        # penalty — used only when |block \ targets| < context_size.
+        k_scale, k_corner = jax.random.split(k_ctx)
+        s = jax.random.uniform(
+            k_scale, (batch_size, 1), minval=context_scale[0],
+            maxval=context_scale[1],
+        )
+        side = jnp.clip(
+            jnp.floor(grid_size * jnp.sqrt(s)).astype(jnp.int32), 1, grid_size
+        )  # (B, 1)
+        u2 = jax.random.uniform(k_corner, (batch_size, 2))
+        corner = jnp.floor(u2 * (grid_size - side + 1)).astype(jnp.int32)
+        rows = jnp.arange(N, dtype=jnp.int32) // grid_size  # (N,)
+        cols = jnp.arange(N, dtype=jnp.int32) % grid_size
+        in_block = (
+            (rows[None, :] >= corner[:, :1])
+            & (rows[None, :] < corner[:, :1] + side)
+            & (cols[None, :] >= corner[:, 1:])
+            & (cols[None, :] < corner[:, 1:] + side)
+        )
+        priority = priority + jnp.where(in_block, 0.0, 5.0)
+    elif context_sampling != "complement":
+        raise ValueError(f"unknown context_sampling: {context_sampling}")
     ctx_idx = jnp.argsort(priority, axis=-1)[:, :context_size]
     return target_idx, ctx_idx

@@ -5,8 +5,10 @@ Reuses the MAE pretraining conventions where sensible: AdamW with linear LR
 scaling lr·batch/256, warmup×cosine epoch schedule, grad clip 1.0, monitor
 ``val_loss``/min. The target encoder's parameters live in
 ``TrainState.extra`` and are updated after every optimizer step with a
-per-epoch-scheduled EMA momentum (optax-style incremental update inside the
-jitted step; stop-gradient guarantees no backward flow).
+per-STEP-annealed EMA momentum (I-JEPA's schedule; the trainer supplies the
+epoch length through ``on_fit_start``); stop-gradient guarantees no backward
+flow. Context sampling is either the fixed-count complement sample or
+I-JEPA's contiguous context block minus targets (``jepa.context_sampling``).
 """
 
 from __future__ import annotations
@@ -18,7 +20,10 @@ import jax.numpy as jnp
 
 from ssrl_vit_mae_jepa_tpu.models.jepa import jepa_from_config
 from ssrl_vit_mae_jepa_tpu.ops.jepa_masking import sample_jepa_masks
-from ssrl_vit_mae_jepa_tpu.training.schedules import effective_pretrain_lr
+from ssrl_vit_mae_jepa_tpu.training.schedules import (
+    effective_pretrain_lr,
+    ema_momentum_at_step,
+)
 from ssrl_vit_mae_jepa_tpu.training.state import TrainState
 from ssrl_vit_mae_jepa_tpu.training.tasks import Task, _weighted
 
@@ -51,6 +56,11 @@ class JEPATask(Task):
         self.augment = bool(jepa_cfg.get("augment", True)) if augment is None else augment
         self.ema_start = float(jepa_cfg.get("ema_start", 0.996))
         self.ema_end = float(jepa_cfg.get("ema_end", 1.0))
+        # per-step EMA annealing (I-JEPA); the trainer provides the epoch
+        # length via on_fit_start. Until then post_update falls back to the
+        # per-epoch approximation (standalone/test use of train_step).
+        self.total_steps: Optional[int] = None
+        self.steps_per_epoch: Optional[int] = None
 
         self.image_size = self.model.image_size
         self.grid_size = self.image_size // self.model.patch_size
@@ -60,16 +70,22 @@ class JEPATask(Task):
         self.block_area = max(4, round(sum(scale) / 2 * self.num_patches))
         aspect = jepa_cfg.get("target_aspect_ratio", [0.75, 1.5])
         self.aspect_range = (float(aspect[0]), float(aspect[1]))
-        # context: fixed-size complement sample (see ops.jepa_masking)
+        # context: fixed-count sample, complement or contiguous-block minus
+        # targets (see ops.jepa_masking)
         self.context_size = max(
             8, self.num_patches - self.num_blocks * self.block_area
         )
+        self.context_sampling = str(jepa_cfg.get("context_sampling", "complement"))
+        cscale = jepa_cfg.get("context_scale", [0.85, 1.0])
+        self.context_scale = (float(cscale[0]), float(cscale[1]))
 
     def init_params(self, rng):
         dummy = jnp.zeros((2, self.image_size, self.image_size, self.model.in_chans))
         t_idx, c_idx = sample_jepa_masks(
             rng, 2, self.grid_size, self.num_blocks, self.block_area,
             self.context_size, self.aspect_range,
+            context_sampling=self.context_sampling,
+            context_scale=self.context_scale,
         )
         idx_ctx = self._ctx_tokens(c_idx)
         idx_tgt = t_idx + 1
@@ -91,6 +107,8 @@ class JEPATask(Task):
         t_idx, c_idx = sample_jepa_masks(
             rng, B, self.grid_size, self.num_blocks, self.block_area,
             self.context_size, self.aspect_range,
+            context_sampling=self.context_sampling,
+            context_scale=self.context_scale,
         )
         idx_ctx = self._ctx_tokens(c_idx)
         idx_tgt = t_idx + 1
@@ -111,11 +129,24 @@ class JEPATask(Task):
         loss = loss_sum / jnp.maximum(weight_sum, 1.0)
         return loss, {"loss_sum": loss_sum, "weight_sum": weight_sum}
 
-    def post_update(self, state: TrainState, epoch) -> TrainState:
+    def on_fit_start(self, steps_per_epoch: int) -> None:
+        self.steps_per_epoch = steps_per_epoch
+        self.total_steps = steps_per_epoch * self.total_epochs
+        self._train_step = None  # re-trace with the step count baked in
+
+    def _momentum(self, state: TrainState, epoch):
+        if self.total_steps:
+            # per-step anneal (I-JEPA); state.step is the global step counter
+            return ema_momentum_at_step(
+                state.step, self.total_steps, self.ema_start, self.ema_end
+            )
         frac = jnp.clip(
             jnp.asarray(epoch, jnp.float32) / max(1, self.total_epochs), 0.0, 1.0
         )
-        m = self.ema_start + frac * (self.ema_end - self.ema_start)
+        return self.ema_start + frac * (self.ema_end - self.ema_start)
+
+    def post_update(self, state: TrainState, epoch) -> TrainState:
+        m = self._momentum(state, epoch)
         new_ema = jax.tree.map(
             lambda t, p: t * m + p.astype(t.dtype) * (1.0 - m),
             state.extra,
@@ -124,8 +155,15 @@ class JEPATask(Task):
         return state.replace(extra=new_ema)
 
     def host_epoch_metrics(self, epoch: int) -> Dict[str, float]:
-        frac = min(epoch / max(1, self.total_epochs), 1.0)
-        return {"ema_momentum": self.ema_start + frac * (self.ema_end - self.ema_start)}
+        if self.total_steps and self.steps_per_epoch:
+            m = float(ema_momentum_at_step(
+                epoch * self.steps_per_epoch, self.total_steps,
+                self.ema_start, self.ema_end,
+            ))
+        else:
+            frac = min(epoch / max(1, self.total_epochs), 1.0)
+            m = self.ema_start + frac * (self.ema_end - self.ema_start)
+        return {"ema_momentum": m}
 
     @staticmethod
     def epoch_metrics_from_sums(sums: Dict[str, float], prefix: str) -> Dict[str, float]:

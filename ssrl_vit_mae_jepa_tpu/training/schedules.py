@@ -39,7 +39,9 @@ def mask_ratio_at_epoch(
     return start + progress * (end - start)
 
 
-def ema_momentum_at_step(step: int, total_steps: int, start: float, end: float) -> float:
-    """JEPA EMA momentum schedule: linear from start to end over training."""
-    frac = min(step / max(1, total_steps), 1.0)
+def ema_momentum_at_step(step, total_steps: int, start: float, end: float):
+    """JEPA EMA momentum: linear from start to end over all training steps
+    (I-JEPA anneals per STEP, not per epoch). `step` may be a traced scalar;
+    host callers get a jnp scalar back (float() it)."""
+    frac = jnp.minimum(jnp.asarray(step, jnp.float32) / max(1, total_steps), 1.0)
     return start + frac * (end - start)

@@ -114,6 +114,10 @@ class Task:
         """Hook after the optimizer update, inside the jitted step."""
         return state
 
+    def on_fit_start(self, steps_per_epoch: int) -> None:
+        """Hook called by the trainer before the first step with the epoch
+        length, for schedules that need the total step count (JEPA EMA)."""
+
     def init_state(self, rng, init_params_override=None) -> TrainState:
         params_rng, state_rng = jax.random.split(rng)
         params = self.init_params(params_rng)

@@ -105,6 +105,7 @@ class Trainer:
             )
         if self.state is None:
             self.init_state(init_params_override)
+        self.task.on_fit_start(len(train_loader))
         start_epoch = 0
         if resume_from is not None:
             start_epoch = self._resume(resume_from)

@@ -59,6 +59,45 @@ class TestJepaMasking:
             w = xs.max() - xs.min() + 1
             assert h * w == 24  # contiguous rectangle of area 24
 
+    def test_block_context_sampling(self, rng):
+        """context_sampling='block': context = square block minus targets.
+
+        Geometry chosen so the block always holds ≥ context_size non-target
+        patches (side=floor(12·√0.5)=8 → 64 cells, ≤4 targets, 48 needed),
+        so every context patch must sit inside one 8×8 square.
+        """
+        B, grid = 8, 12
+        t_idx, c_idx = sample_jepa_masks(
+            rng, B, grid, 1, 4, 48,
+            context_sampling="block", context_scale=(0.5, 0.5),
+        )
+        t, c = np.asarray(t_idx), np.asarray(c_idx)
+        side = int(np.floor(grid * np.sqrt(0.5)))
+        for b in range(B):
+            assert not set(c[b]) & set(t[b])  # minus targets
+            assert len(set(c[b])) == 48
+            ys, xs = c[b] // grid, c[b] % grid
+            assert ys.max() - ys.min() + 1 <= side, "context escapes block (rows)"
+            assert xs.max() - xs.min() + 1 <= side, "context escapes block (cols)"
+
+    def test_block_context_fills_from_outside_when_needed(self, rng):
+        """When |block \\ targets| < context_size the sampler tops up from
+        outside the block instead of picking targets."""
+        B, grid = 4, 12
+        # side=floor(12·√0.1)=3 → ≤9 in-block cells, need 20 → must fill
+        t_idx, c_idx = sample_jepa_masks(
+            rng, B, grid, 1, 4, 20,
+            context_sampling="block", context_scale=(0.1, 0.1),
+        )
+        t, c = np.asarray(t_idx), np.asarray(c_idx)
+        for b in range(B):
+            assert not set(c[b]) & set(t[b])
+            assert len(set(c[b])) == 20
+
+    def test_unknown_context_sampling_rejected(self, rng):
+        with pytest.raises(ValueError, match="context_sampling"):
+            sample_jepa_masks(rng, 2, 12, 1, 4, 8, context_sampling="nope")
+
 
 class TestJepaModel:
     def test_shapes(self, rng):
@@ -104,6 +143,37 @@ class TestJepaTask:
         lhs = ema1["cls_token"]
         expect = 0.99 * ema0["cls_token"] + 0.01 * p1["cls_token"]
         np.testing.assert_allclose(lhs, expect, atol=1e-6)
+
+    def test_per_step_ema_schedule(self, synthetic_stl10_dir):
+        """With the epoch length known, EMA momentum anneals per STEP
+        (I-JEPA), not per epoch."""
+        task = JEPATask(SMALL_MODEL, SMALL_JEPA, dtype=jnp.float32)
+        task.on_fit_start(steps_per_epoch=10)  # total_steps = 40
+        state = task.init_state(jax.random.PRNGKey(0))
+        ds = STL10(synthetic_stl10_dir, "unlabeled")
+        batch = next(iter(HostLoader(ds, np.arange(16), 16, shuffle=False).epoch(0)))
+
+        ema0 = jax.device_get(state.extra)["cls_token"]
+        state, _ = task.train_step(state, batch, 0, None)
+        p1 = jax.device_get(state.params["encoder"])["cls_token"]
+        m1 = 0.99 + (1 / 40) * (1.0 - 0.99)  # post_update sees step=1
+        np.testing.assert_allclose(
+            jax.device_get(state.extra)["cls_token"],
+            m1 * ema0 + (1 - m1) * p1, atol=1e-6,
+        )
+
+        ema1 = jax.device_get(state.extra)["cls_token"]
+        state, _ = task.train_step(state, batch, 0, None)
+        p2 = jax.device_get(state.params["encoder"])["cls_token"]
+        m2 = 0.99 + (2 / 40) * (1.0 - 0.99)  # later step → larger momentum
+        np.testing.assert_allclose(
+            jax.device_get(state.extra)["cls_token"],
+            m2 * ema1 + (1 - m2) * p2, atol=1e-6,
+        )
+        # logged momentum follows the same per-step schedule
+        assert task.host_epoch_metrics(2)["ema_momentum"] == pytest.approx(
+            0.99 + (20 / 40) * 0.01
+        )
 
     def test_loss_decreases(self, synthetic_stl10_dir, tmp_path):
         train, val = self._loaders(synthetic_stl10_dir)
