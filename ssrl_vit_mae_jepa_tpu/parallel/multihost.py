@@ -22,11 +22,19 @@ import numpy as np
 
 
 def maybe_initialize_distributed() -> bool:
-    """Initialize jax.distributed when a coordinator is configured."""
+    """Initialize jax.distributed when a coordinator is configured.
+
+    Must run before anything touches the XLA backend, so the
+    already-initialized check reads the distributed client state directly —
+    calling ``jax.process_count()`` here would itself initialize the backend
+    and make ``jax.distributed.initialize`` raise.
+    """
     coord = os.environ.get("SSRL_COORDINATOR")
     if not coord:
         return False
-    if jax.process_count() > 1:  # already initialized
+    from jax._src import distributed as _distributed
+
+    if _distributed.global_state.client is not None:  # already initialized
         return True
     jax.distributed.initialize(
         coordinator_address=coord,

@@ -1,8 +1,25 @@
-"""Multi-host helper tests (index sharding logic; single-process runtime)."""
+"""Multi-host tests: index-sharding logic + an EXECUTED 2-process run.
+
+The executed test launches two subprocesses that join a real
+``jax.distributed`` coordinator (4 virtual CPU devices each → 8 global),
+run one MAE training epoch through the full trainer/prefetcher stack —
+covering ``maybe_initialize_distributed``, ``process_local_indices``,
+``global_batch``, and the multi-host branch of ``device_prefetch`` — and
+asserts the loss matches a single-process 8-device run bit-for-bit-ish.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
 
 import numpy as np
+import pytest
 
 from ssrl_vit_mae_jepa_tpu.parallel.multihost import process_local_indices
+
+REPO = Path(__file__).resolve().parents[1]
 
 
 class TestProcessSharding:
@@ -22,3 +39,61 @@ class TestProcessSharding:
     def test_single_process_identity(self):
         idx = np.arange(7)
         np.testing.assert_array_equal(process_local_indices(idx, 0, 1), idx)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path, synthetic_stl10_dir):
+    """Two real jax.distributed processes × 4 devices ≡ one process × 8."""
+    port = _free_port()
+    workers = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # worker sets its own 4-device flag
+        env.update({
+            "PYTHONPATH": str(REPO),
+            "SSRL_COORDINATOR": f"127.0.0.1:{port}",
+            "SSRL_NUM_PROCESSES": "2",
+            "SSRL_PROCESS_ID": str(pid),
+        })
+        workers.append(subprocess.Popen(
+            [sys.executable, str(REPO / "tests/_multihost_worker.py"),
+             str(synthetic_stl10_dir), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = [w.communicate(timeout=600) for w in workers]
+    losses = []
+    for w, (out, errtxt) in zip(workers, outs):
+        assert w.returncode == 0, f"worker failed:\n{out[-2000:]}\n{errtxt[-3000:]}"
+        line = [x for x in out.splitlines() if x.startswith("MULTIHOST_TRAIN_LOSS=")]
+        assert line, out
+        losses.append(float(line[0].split("=")[1]))
+    # both processes observe the same global loss
+    assert losses[0] == pytest.approx(losses[1], abs=1e-9), losses
+
+    # single-process reference on 8 local devices, same global batch order
+    from tests._multihost_worker import GLOBAL_EXAMPLES, MODEL_CFG, PRETRAIN_CFG
+    from ssrl_vit_mae_jepa_tpu.data.pipeline import HostLoader
+    from ssrl_vit_mae_jepa_tpu.data.stl10 import STL10
+    from ssrl_vit_mae_jepa_tpu.training.tasks import MAETask
+    from ssrl_vit_mae_jepa_tpu.training.trainer import Trainer
+
+    import jax
+    import jax.numpy as jnp
+
+    order = np.concatenate([
+        process_local_indices(np.arange(GLOBAL_EXAMPLES), pi, 2) for pi in range(2)
+    ])
+    ds = STL10(synthetic_stl10_dir, "unlabeled")
+    loader = HostLoader(ds, order, GLOBAL_EXAMPLES, shuffle=False)
+    task = MAETask(MODEL_CFG, PRETRAIN_CFG, dtype=jnp.float32)
+    trainer = Trainer(task, max_epochs=1, output_dir=tmp_path / "single",
+                      enable_checkpointing=False)
+    assert jax.device_count() == 8
+    ref = trainer.fit(loader)["train_loss"]
+    assert losses[0] == pytest.approx(ref, abs=1e-5), (losses, ref)
