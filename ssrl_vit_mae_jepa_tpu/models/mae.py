@@ -25,7 +25,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ssrl_vit_mae_jepa_tpu.models.vit import Block, VisionTransformer, trunc_normal_init
-from ssrl_vit_mae_jepa_tpu.ops.masking import get_at_index, repeat_token, set_at_index
+from ssrl_vit_mae_jepa_tpu.ops.masking import (
+    get_at_index,
+    get_at_index_mm,
+    repeat_token,
+    set_at_index,
+)
 from ssrl_vit_mae_jepa_tpu.ops.patches import patchify
 
 
@@ -157,7 +162,7 @@ class MaskedAutoencoder(nn.Module):
         )
         x_masked = set_at_index(x_masked, idx_keep, x_decode.astype(x_masked.dtype))
         x_decoded = self.decoder.decode(x_masked)
-        x_pred = get_at_index(x_decoded, idx_mask)
+        x_pred = get_at_index_mm(x_decoded, idx_mask)
         return self.decoder.predict(x_pred)
 
     def __call__(

@@ -32,7 +32,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ssrl_vit_mae_jepa_tpu.ops.attention import multi_head_attention
-from ssrl_vit_mae_jepa_tpu.ops.masking import get_at_index
+from ssrl_vit_mae_jepa_tpu.ops.masking import get_at_index_mm
 from ssrl_vit_mae_jepa_tpu.ops.patches import patchify
 
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
@@ -160,7 +160,10 @@ class VisionTransformer(nn.Module):
         x = x + pos_embed.astype(self.dtype)
 
         if idx_keep is not None:
-            x = get_at_index(x, idx_keep)
+            # one-hot-matmul backward: the gather VJP is a scatter-add
+            # into (B, L, D); as an MXU contraction it is ~1.5 ms/step
+            # cheaper at B=384 than XLA's scatter (docs/PERFORMANCE.md)
+            x = get_at_index_mm(x, idx_keep)
 
         for i in range(self.depth):
             x = Block(

@@ -67,6 +67,9 @@ def _collapse_rows(xs, L, masks):
 
 
 def _softmax_rows(s):
+    # fp32 row softmax. Measured-and-rejected variants (v5e, B=384, in-situ):
+    # bf16 exp/normalize 22.3 ms/step vs 21.7 fp32 (conversion overhead);
+    # reciprocal-multiply normalize: neutral (docs/PERFORMANCE.md).
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     return p / jnp.sum(p, axis=-1, keepdims=True)

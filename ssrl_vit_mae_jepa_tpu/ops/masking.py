@@ -21,6 +21,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def num_masked_tokens(sequence_length: int, mask_ratio: float) -> int:
@@ -54,6 +55,36 @@ def random_token_mask(
 def get_at_index(tokens: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
     """Batched gather along the token axis: (B, L, D)[(B, K)] → (B, K, D)."""
     return jnp.take_along_axis(tokens, index[:, :, None], axis=1)
+
+
+@jax.custom_vjp
+def get_at_index_mm(tokens: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
+    """``get_at_index`` with a one-hot-MATMUL backward.
+
+    The VJP of a token gather is a scatter-add into the (B, L, D) token
+    tensor; XLA lowers that scatter on TPU much more slowly than an
+    equivalent one-hot contraction on the MXU, so the backward here is
+    dL/dtokens[b,l,d] = Σ_k 1[index[b,k]=l]·g[b,k,d] as a batched matmul.
+    Forward is the plain gather (identical numerics and speed).
+    """
+    return get_at_index(tokens, index)
+
+
+def _gai_mm_fwd(tokens, index):
+    return get_at_index(tokens, index), (index, tokens.shape[1])
+
+
+def _gai_mm_bwd(res, g):
+    index, L = res
+    onehot = (index[:, :, None] == jnp.arange(L)[None, None, :]).astype(g.dtype)
+    dtokens = jax.lax.dot_general(
+        onehot, g, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(g.dtype)  # (B, L, D)
+    return dtokens, np.zeros(index.shape, dtype=jax.dtypes.float0)
+
+
+get_at_index_mm.defvjp(_gai_mm_fwd, _gai_mm_bwd)
 
 
 def set_at_index(

@@ -8,6 +8,7 @@ import pytest
 from ssrl_vit_mae_jepa_tpu.ops.patches import patchify, unpatchify
 from ssrl_vit_mae_jepa_tpu.ops.masking import (
     get_at_index,
+    get_at_index_mm,
     num_masked_tokens,
     random_token_mask,
     repeat_token,
@@ -93,6 +94,21 @@ class TestMasking:
         np.testing.assert_array_equal(np.asarray(put[0, 2]), np.asarray(tokens[0, 2]))
         np.testing.assert_array_equal(np.asarray(put[1, 4]), np.asarray(tokens[1, 4]))
         assert np.asarray(put[0, 1]).sum() == 0
+
+    def test_gather_mm_backward_matches_plain(self, rng):
+        """get_at_index_mm: identical forward, one-hot-matmul VJP equals the
+        scatter-add VJP of the plain gather — including repeated indices."""
+        tokens = jax.random.normal(rng, (3, 7, 5))
+        idx = jnp.array([[0, 2, 2], [6, 1, 0], [3, 3, 3]])  # repeats stress add
+        g = jax.random.normal(jax.random.fold_in(rng, 1), (3, 3, 5))
+
+        np.testing.assert_array_equal(
+            np.asarray(get_at_index_mm(tokens, idx)),
+            np.asarray(get_at_index(tokens, idx)),
+        )
+        ref = jax.grad(lambda t: jnp.sum(get_at_index(t, idx) * g))(tokens)
+        mm = jax.grad(lambda t: jnp.sum(get_at_index_mm(t, idx) * g))(tokens)
+        np.testing.assert_allclose(np.asarray(mm), np.asarray(ref), atol=1e-6)
 
     def test_repeat_token(self):
         t = jnp.arange(3, dtype=jnp.float32).reshape(1, 1, 3)
