@@ -69,7 +69,7 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ssrl_vit_mae_jepa_tpu.ops.attention import mha_natural, use_packed
+        from ssrl_vit_mae_jepa_tpu.ops.attention import mha_natural_qkv, use_packed
 
         B, L, D = x.shape
         h = self.num_heads
@@ -78,10 +78,10 @@ class Attention(nn.Module):
             3 * D, dtype=self.dtype, kernel_init=trunc_normal_init, name="qkv"
         )(x)
         if use_packed(B, L, D, h, qkv.dtype, self.attn_impl):
-            # slot-packed kernel consumes/produces the natural (B, L, D)
-            # layout straight from the qkv GEMM — no head transposes at all
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            out = mha_natural(q, k, v, h)
+            # head-stacked kernel consumes the fused (B, L, 3D) tensor
+            # straight from the qkv GEMM — no head transposes, no q/k/v
+            # slices, and a single dqkv gradient (no concat) on the way back
+            out = mha_natural_qkv(qkv, h)
         else:
             qkv = qkv.reshape(B, L, 3, h, hd).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]

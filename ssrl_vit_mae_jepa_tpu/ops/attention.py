@@ -86,6 +86,13 @@ def mha_natural(q, k, v, num_heads: int):
     return mha_stacked(q, k, v, num_heads)
 
 
+def mha_natural_qkv(qkv, num_heads: int):
+    """Head-stacked fused attention on the fused (B, L, 3D) qkv tensor."""
+    from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_stacked import mha_stacked_qkv
+
+    return mha_stacked_qkv(qkv, num_heads)
+
+
 def multi_head_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, impl: str = "auto"
 ) -> jnp.ndarray:

@@ -24,6 +24,15 @@ gets dV and dK directly (no collapse):
     dK  = dSᵀ Qs                 (direct)
 
 where dOs is dO spread like Q. fp32 scores/softmax; bf16/fp32 IO.
+
+Round-2 refinements (measured at B=384 on v5e, docs/PERFORMANCE.md):
+- multi-image grid steps: each grid iteration processes G images (default 4)
+  to amortize per-iteration overhead — full-step 20.5 → 19.1 ms;
+- fused-qkv entry point ``mha_stacked_qkv``: consumes the (B, L, 3D) qkv
+  GEMM output directly and returns a single (B, L, 3D) gradient, removing
+  the q/k/v slice + concat relayout copies XLA inserted at the custom-call
+  boundary — full-step 18.95 → 18.15 ms. The three-input ``mha_stacked``
+  remains for natural-layout callers (JEPA predictor, tests).
 """
 
 from __future__ import annotations
@@ -75,53 +84,99 @@ def _softmax_rows(s):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, H, d, L, scale):
-    D = H * d
-    masks = _masks(H, d, D, q_ref.dtype)
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+def _attn_fwd_one(q_raw, k, v, *, masks, masks_f, scale, L):
+    """One image: natural-layout (L, D) q/k/v → (L, D) output."""
+    q = (q_raw.astype(jnp.float32) * scale).astype(q_raw.dtype)
     qs = _spread_rows(q, masks)  # (H·L, D)
     s = jax.lax.dot_general(
-        qs, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (H·L, L)
-    p = _softmax_rows(s).astype(q_ref.dtype)
+    p = _softmax_rows(s).astype(q_raw.dtype)
     o_st = jax.lax.dot_general(
-        p, v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(jnp.float32)  # (H·L, D)
-    o_ref[0] = _collapse_rows(o_st, L, [m.astype(jnp.float32) for m in masks]).astype(
-        o_ref.dtype
+    return _collapse_rows(o_st, L, masks_f)
+
+
+def _attn_bwd_one(q_raw, k, v, do, *, masks, masks_f, scale, L):
+    """One image: → (dq, dk, dv), all (L, D) fp32."""
+    q = (q_raw.astype(jnp.float32) * scale).astype(q_raw.dtype)
+    qs = _spread_rows(q, masks)
+    s = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    p = _softmax_rows(s)  # (H·L, L) fp32
+    pb = p.astype(q_raw.dtype)
+    dos = _spread_rows(do, masks)  # (H·L, D)
+    # dV = Pᵀ dOs — direct natural layout
+    dv = jax.lax.dot_general(
+        pb, dos, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dP = dOs Vᵀ ; dS = P ∘ (dP − rowsum(dP ∘ P))
+    dp = jax.lax.dot_general(
+        dos, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(q_raw.dtype)
+    # dQs = dS K → collapse → dq (scale folded back)
+    dqs = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq = _collapse_rows(dqs, L, masks_f) * scale
+    # dK = dSᵀ Qs — direct
+    dk = jax.lax.dot_general(
+        ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return dq, dk, dv
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, H, d, L, scale):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, H, d, L, scale, G):
     D = H * d
     masks = _masks(H, d, D, q_ref.dtype)
     masks_f = [m.astype(jnp.float32) for m in masks]
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
-    qs = _spread_rows(q, masks)
-    s = jax.lax.dot_general(
-        qs, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    p = _softmax_rows(s)  # (H·L, L) fp32
-    pb = p.astype(q_ref.dtype)
-    dos = _spread_rows(g_ref[0], masks)  # (H·L, D)
-    # dV = Pᵀ dOs — direct natural layout
-    dv_ref[0] = jax.lax.dot_general(
-        pb, dos, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dv_ref.dtype)
-    # dP = dOs Vᵀ ; dS = P ∘ (dP − rowsum(dP ∘ P))
-    dp = jax.lax.dot_general(
-        dos, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(q_ref.dtype)
-    # dQs = dS K → collapse → dq (scale folded back)
-    dqs = jax.lax.dot_general(
-        ds, k_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dq_ref[0] = (_collapse_rows(dqs, L, masks_f) * scale).astype(dq_ref.dtype)
-    # dK = dSᵀ Qs — direct
-    dk_ref[0] = jax.lax.dot_general(
-        ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dk_ref.dtype)
+    for g in range(G):  # images per grid step (amortizes grid overhead)
+        o_ref[g] = _attn_fwd_one(
+            q_ref[g], k_ref[g], v_ref[g],
+            masks=masks, masks_f=masks_f, scale=scale, L=L,
+        ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, H, d, L, scale, G):
+    D = H * d
+    masks = _masks(H, d, D, q_ref.dtype)
+    masks_f = [m.astype(jnp.float32) for m in masks]
+    for g in range(G):
+        dq, dk, dv = _attn_bwd_one(
+            q_ref[g], k_ref[g], v_ref[g], g_ref[g],
+            masks=masks, masks_f=masks_f, scale=scale, L=L,
+        )
+        dq_ref[g] = dq.astype(dq_ref.dtype)
+        dk_ref[g] = dk.astype(dk_ref.dtype)
+        dv_ref[g] = dv.astype(dv_ref.dtype)
+
+
+def _fwd_qkv_kernel(qkv_ref, o_ref, *, H, d, L, scale, G):
+    D = H * d
+    masks = _masks(H, d, D, qkv_ref.dtype)
+    masks_f = [m.astype(jnp.float32) for m in masks]
+    for g in range(G):
+        x = qkv_ref[g]  # (L, 3D) — fused [q | k | v] straight from the GEMM
+        o_ref[g] = _attn_fwd_one(
+            x[:, :D], x[:, D : 2 * D], x[:, 2 * D :],
+            masks=masks, masks_f=masks_f, scale=scale, L=L,
+        ).astype(o_ref.dtype)
+
+
+def _bwd_qkv_kernel(qkv_ref, g_ref, dqkv_ref, *, H, d, L, scale, G):
+    D = H * d
+    masks = _masks(H, d, D, qkv_ref.dtype)
+    masks_f = [m.astype(jnp.float32) for m in masks]
+    for g in range(G):
+        x = qkv_ref[g]
+        dq, dk, dv = _attn_bwd_one(
+            x[:, :D], x[:, D : 2 * D], x[:, 2 * D :], g_ref[g],
+            masks=masks, masks_f=masks_f, scale=scale, L=L,
+        )
+        dqkv_ref[g] = jnp.concatenate([dq, dk, dv], axis=-1).astype(dqkv_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -130,18 +185,37 @@ def mha_stacked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int):
     return _fwd(q, k, v, num_heads)[0]
 
 
-def _specs(L, D):
-    return pl.BlockSpec((1, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+def _specs(G, L, D):
+    return pl.BlockSpec((G, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _group(B: int, env_var: str = "SSRL_ATTN_GROUP") -> int:
+    """Images per grid step (amortizes per-grid-step overhead).
+
+    Measured on v5e at B=384 (full MAE step): G=1 20.5 ms, G=2 19.1 ms,
+    G=4 19.1 ms; G=8 blows up Mosaic compile time (unrolled body). Default
+    4, overridable via ``SSRL_ATTN_GROUP`` for ablation.
+    """
+    import os
+
+    override = os.environ.get(env_var)
+    if override:
+        return int(override)
+    for g in (4, 2):
+        if B % g == 0:
+            return g
+    return 1
 
 
 def _fwd(q, k, v, H):
     B, L, D = q.shape
     d = D // H
     scale = 1.0 / (d**0.5)
-    spec = _specs(L, D)
+    G = _group(B)
+    spec = _specs(G, L, D)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, H=H, d=d, L=L, scale=scale),
-        grid=(B,),
+        functools.partial(_fwd_kernel, H=H, d=d, L=L, scale=scale, G=G),
+        grid=(B // G,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, L, D), q.dtype),
@@ -159,11 +233,12 @@ def _bwd(H, res, g):
     B, L, D = q.shape
     d = D // H
     scale = 1.0 / (d**0.5)
-    spec = _specs(L, D)
+    G = _group(B)
+    spec = _specs(G, L, D)
     shape = jax.ShapeDtypeStruct((B, L, D), q.dtype)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, H=H, d=d, L=L, scale=scale),
-        grid=(B,),
+        functools.partial(_bwd_kernel, H=H, d=d, L=L, scale=scale, G=G),
+        grid=(B // G,),
         in_specs=[spec, spec, spec, spec],
         out_specs=(spec, spec, spec),
         out_shape=(shape, shape, shape),
@@ -177,3 +252,61 @@ def _bwd(H, res, g):
 
 
 mha_stacked.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def mha_stacked_qkv(qkv: jnp.ndarray, num_heads: int):
+    """Head-stacked attention on the FUSED (B, L, 3·D) qkv tensor.
+
+    Takes the qkv projection's output directly — [q | k | v] along features —
+    and returns (B, L, D). One custom-call input instead of three slices and
+    one gradient output instead of a three-way concat: at B=384 this removes
+    the (B, L, 3D) relayout copies XLA otherwise inserts around the kernel
+    boundary on both passes (~0.7 ms/step; docs/PERFORMANCE.md).
+    """
+    return _fwd_qkv(qkv, num_heads)[0]
+
+
+def _fwd_qkv(qkv, H):
+    B, L, D3 = qkv.shape
+    D = D3 // 3
+    d = D // H
+    scale = 1.0 / (d**0.5)
+    G = _group(B)
+    out = pl.pallas_call(
+        functools.partial(_fwd_qkv_kernel, H=H, d=d, L=L, scale=scale, G=G),
+        grid=(B // G,),
+        in_specs=[_specs(G, L, D3)],
+        out_specs=_specs(G, L, D),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * L * L * d,
+            bytes_accessed=4 * B * L * D * qkv.dtype.itemsize,
+            transcendentals=B * H * L * L,
+        ),
+    )(qkv)
+    return out, qkv
+
+
+def _bwd_qkv(H, qkv, g):
+    B, L, D3 = qkv.shape
+    D = D3 // 3
+    d = D // H
+    scale = 1.0 / (d**0.5)
+    G = _group(B)
+    dqkv = pl.pallas_call(
+        functools.partial(_bwd_qkv_kernel, H=H, d=d, L=L, scale=scale, G=G),
+        grid=(B // G,),
+        in_specs=[_specs(G, L, D3), _specs(G, L, D)],
+        out_specs=_specs(G, L, D3),
+        out_shape=jax.ShapeDtypeStruct((B, L, D3), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * B * H * L * L * d,
+            bytes_accessed=7 * B * L * D * qkv.dtype.itemsize,
+            transcendentals=B * H * L * L,
+        ),
+    )(qkv, g)
+    return (dqkv,)
+
+
+mha_stacked_qkv.defvjp(_fwd_qkv, _bwd_qkv)

@@ -41,44 +41,77 @@ def normalize(images_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
 
 def _sample_crop_params(
     rng: jax.Array,
+    batch: int,
     height: int,
     width: int,
     scale: Tuple[float, float],
     ratio: Tuple[float, float] = DEFAULT_RATIO,
 ):
-    """Sample (top, left, crop_h, crop_w) for one example (float, clamped)."""
-    k_area, k_ratio, k_top, k_left = jax.random.split(rng, 4)
+    """Sample (top, left, crop_h, crop_w) for a whole batch (float, clamped).
+
+    One batched ``uniform(rng, (B, 4))`` draw instead of B key-splits with 4
+    scalar draws each: the per-example-key pattern cost ~1.1 ms/step of
+    threefry hashing at B=384 on v5e (profiled; docs/PERFORMANCE.md) for
+    randomness that is IID across the batch either way.
+    """
+    u = jax.random.uniform(rng, (batch, 4))
     area = height * width
-    target_area = area * jax.random.uniform(k_area, (), minval=scale[0], maxval=scale[1])
-    log_ratio = jax.random.uniform(
-        k_ratio, (), minval=math.log(ratio[0]), maxval=math.log(ratio[1])
-    )
-    aspect = jnp.exp(log_ratio)
+    target_area = area * (scale[0] + u[:, 0] * (scale[1] - scale[0]))
+    log_lo, log_hi = math.log(ratio[0]), math.log(ratio[1])
+    aspect = jnp.exp(log_lo + u[:, 1] * (log_hi - log_lo))
     w = jnp.sqrt(target_area * aspect)
     h = jnp.sqrt(target_area / aspect)
     w = jnp.clip(w, 1.0, float(width))
     h = jnp.clip(h, 1.0, float(height))
-    top = jax.random.uniform(k_top, ()) * (height - h)
-    left = jax.random.uniform(k_left, ()) * (width - w)
+    top = u[:, 2] * (height - h)
+    left = u[:, 3] * (width - w)
     return top, left, h, w
 
 
-def _crop_resize_one(
-    img: jnp.ndarray, top, left, crop_h, crop_w, out_hw: Tuple[int, int]
+def _axis_weights(start, size, out_n: int, limit: int) -> jnp.ndarray:
+    """(B, out_n, limit) bilinear resampling matrix for one spatial axis.
+
+    Row o holds the triangle weights max(0, 1-|src(o) - s|) of output sample
+    o against source positions s, with the source coordinate clamped to the
+    image (edge-pixel replication, matching torch's coordinate clamping).
+    """
+    src = start[:, None] + (jnp.arange(out_n)[None, :] + 0.5) * (
+        size[:, None] / out_n
+    ) - 0.5
+    src = jnp.clip(src, 0.0, float(limit - 1))  # (B, out)
+    s = jnp.arange(limit, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, :, None] - s[None, None, :]))
+
+
+def _crop_resize_batch(
+    images: jnp.ndarray, tops, lefts, hs, ws, out_hw: Tuple[int, int]
 ) -> jnp.ndarray:
-    """Bilinear resample of crop box [top:top+h, left:left+w] → out_hw."""
+    """Bilinear resample of per-image crop boxes → (B, out_h, out_w, C).
+
+    Two batched MXU contractions against dense per-image bilinear weight
+    matrices (each row has ≤2 nonzeros). Measured at B=384 on v5e:
+    0.35 ms/step vs 1.4 ms for ``jax.image.scale_and_translate`` (which
+    builds equivalent matrices through vmapped ops) and 2.9 ms for a
+    gather-and-lerp formulation (docs/PERFORMANCE.md). No antialiasing —
+    torchvision tensor-backend bilinear semantics; at crop scale (0.8, 1.0)
+    the downscale factor is ≤1.12 so the antialias filter support is ~1
+    pixel and the difference is negligible.
+    """
+    B, H, W, C = images.shape
     out_h, out_w = out_hw
-    scale = jnp.stack([out_h / crop_h, out_w / crop_w])
-    translation = jnp.stack([-top * out_h / crop_h, -left * out_w / crop_w])
-    return jax.image.scale_and_translate(
-        img,
-        shape=(out_h, out_w, img.shape[-1]),
-        spatial_dims=(0, 1),
-        scale=scale.astype(jnp.float32),
-        translation=translation.astype(jnp.float32),
-        method="linear",
-        antialias=True,
-    )
+    wy = _axis_weights(tops, hs, out_h, H)  # (B, out_h, H)
+    wx = _axis_weights(lefts, ws, out_w, W)  # (B, out_w, W)
+    # rows: contract H → (B, out_h, W, C)
+    rows = jax.lax.dot_general(
+        wy, images.reshape(B, H, W * C), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, out_h, W, C)
+    # cols: contract W → (B, out_h, C, out_w) → transpose minor dims
+    cols = jax.lax.dot_general(
+        rows, wx, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, out_h, C, out_w)
+    return jnp.transpose(cols, (0, 1, 3, 2))
 
 
 @partial(jax.jit, static_argnames=("out_size", "scale", "ratio", "dtype"))
@@ -93,14 +126,10 @@ def random_resized_crop_flip_normalize(
     """Train-time augmentation: (B, H, W, C) uint8 → (B, out, out, C) in [-1, 1]."""
     B, H, W, C = images_u8.shape
     k_crop, k_flip = jax.random.split(rng)
-    crop_keys = jax.random.split(k_crop, B)
     images = normalize(images_u8, dtype=jnp.float32)
 
-    def aug_one(key, img):
-        top, left, h, w = _sample_crop_params(key, H, W, scale, ratio)
-        return _crop_resize_one(img, top, left, h, w, (out_size, out_size))
-
-    out = jax.vmap(aug_one)(crop_keys, images)
+    tops, lefts, hs, ws = _sample_crop_params(k_crop, B, H, W, scale, ratio)
+    out = _crop_resize_batch(images, tops, lefts, hs, ws, (out_size, out_size))
     flip = jax.random.bernoulli(k_flip, 0.5, (B, 1, 1, 1))
     out = jnp.where(flip, out[:, :, ::-1, :], out)
     return out.astype(dtype)

@@ -171,6 +171,40 @@ class TestStackedKernel:
                 atol=atol, err_msg=f"d{name} mismatch at L={L} d={d} {dtype}",
             )
 
+    @pytest.mark.parametrize("B,L,H,d", [(2, 37, 6, 24), (2, 145, 6, 32),
+                                         (4, 17, 2, 8)])
+    def test_fused_qkv_forward_and_backward(self, B, L, H, d):
+        """mha_stacked_qkv (the production fused-input path): forward and
+        every gradient matches the three-input reference; B=4 exercises the
+        multi-image (G>1) grid grouping."""
+        from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_stacked import (
+            mha_stacked_qkv,
+        )
+
+        D = H * d
+        qkv = _rand((B, L, 3 * D), 3)
+        g = _rand((B, L, D), 7)
+
+        def ref_loss(qkv):
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            return jnp.sum(_ref_natural(q, k, v, H) * g)
+
+        def fused_loss(qkv):
+            return jnp.sum(mha_stacked_qkv(qkv, H) * g)
+
+        with pltpu.force_tpu_interpret_mode():
+            out = mha_stacked_qkv(qkv, H)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_ref_natural(q, k, v, H)), atol=2e-5
+        )
+        ref_grad = jax.grad(ref_loss)(qkv)
+        with pltpu.force_tpu_interpret_mode():
+            fused_grad = jax.grad(fused_loss)(qkv)
+        np.testing.assert_allclose(
+            np.asarray(fused_grad), np.asarray(ref_grad), atol=1e-4
+        )
+
     def test_supported_boundaries(self):
         from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_stacked import supported
 
