@@ -29,7 +29,7 @@ from ssrl_vit_mae_jepa_tpu.ops.masking import (
     get_at_index,
     get_at_index_mm,
     repeat_token,
-    set_at_index,
+    set_at_index_mm,
 )
 from ssrl_vit_mae_jepa_tpu.ops.patches import patchify
 
@@ -160,7 +160,9 @@ class MaskedAutoencoder(nn.Module):
             self.decoder.mask_token_value().astype(self.dtype),
             (B, self.sequence_length),
         )
-        x_masked = set_at_index(x_masked, idx_keep, x_decode.astype(x_masked.dtype))
+        x_masked = set_at_index_mm(
+            x_masked, idx_keep, x_decode.astype(x_masked.dtype)
+        )
         x_decoded = self.decoder.decode(x_masked)
         x_pred = get_at_index_mm(x_decoded, idx_mask)
         return self.decoder.predict(x_pred)

@@ -110,6 +110,30 @@ class TestMasking:
         mm = jax.grad(lambda t: jnp.sum(get_at_index_mm(t, idx) * g))(tokens)
         np.testing.assert_allclose(np.asarray(mm), np.asarray(ref), atol=1e-6)
 
+    def test_scatter_mm_matches_plain(self, rng):
+        """set_at_index_mm ≡ set_at_index for unique indices, values and
+        gradients (both input paths)."""
+        from ssrl_vit_mae_jepa_tpu.ops.masking import set_at_index_mm
+
+        tokens = jax.random.normal(rng, (3, 7, 5))
+        value = jax.random.normal(jax.random.fold_in(rng, 1), (3, 3, 5))
+        idx = jnp.array([[0, 2, 5], [6, 1, 0], [3, 4, 2]])
+        g = jax.random.normal(jax.random.fold_in(rng, 2), (3, 7, 5))
+
+        np.testing.assert_allclose(
+            np.asarray(set_at_index_mm(tokens, idx, value)),
+            np.asarray(set_at_index(tokens, idx, value)), atol=1e-6,
+        )
+        for argnum in (0, 1):
+            ref = jax.grad(
+                lambda t, v: jnp.sum(set_at_index(t, idx, v) * g), argnums=argnum
+            )(tokens, value)
+            mm = jax.grad(
+                lambda t, v: jnp.sum(set_at_index_mm(t, idx, v) * g),
+                argnums=argnum,
+            )(tokens, value)
+            np.testing.assert_allclose(np.asarray(mm), np.asarray(ref), atol=1e-6)
+
     def test_repeat_token(self):
         t = jnp.arange(3, dtype=jnp.float32).reshape(1, 1, 3)
         out = repeat_token(t, (4, 7))
