@@ -27,7 +27,7 @@ def main():
         "--task", type=str, default="mae", choices=["mae", "jepa", "classifier"],
         help="which training step to benchmark (headline metric: mae)",
     )
-    parser.add_argument("--batch-size", type=int, default=384)
+    parser.add_argument("--batch-size", type=int, default=768)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--attn-impl", type=str, default="auto")

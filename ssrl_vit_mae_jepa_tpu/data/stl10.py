@@ -153,32 +153,38 @@ def write_synthetic_stl10(
     d.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
 
-    def make(n: int, labeled: bool, name: str):
+    def make(n: int, labeled: bool, name: str, chunk: int = 4096):
+        # streamed in chunks: a 100k-image split would otherwise peak at
+        # >20 GB of intermediates (int64 uniforms + fp32 mix)
         labels = rng.integers(0, 10, n).astype(np.uint8)
-        imgs = rng.integers(0, 256, (n, CHANNELS, IMAGE_SIZE, IMAGE_SIZE))
-        imgs = imgs.astype(np.float32)
-        if class_correlated:
-            mean = np.stack(
-                [
-                    50 + 20 * (labels % 5),
-                    50 + 20 * ((labels + 2) % 5),
-                    50 + 20 * ((labels + 4) % 5),
-                ],
-                axis=1,
-            ).astype(np.float32)  # (n, C)
-            ramp = np.linspace(0, 1, IMAGE_SIZE, dtype=np.float32)
-            sign = np.where(labels % 2 == 0, 1.0, -1.0).astype(np.float32)
-            offset = np.where(labels % 2 == 1, 40.0, 0.0).astype(np.float32)
-            grad = (
-                80.0 * sign[:, None] * ramp[None, :] + offset[:, None]
-            )  # (n, W)
-            imgs = (
-                0.25 * imgs
-                + mean[:, :, None, None]
-                + grad[:, None, None, :]
-            )
-        imgs = np.clip(imgs, 0, 255).astype(np.uint8)
-        imgs.tofile(d / f"{name}_X.bin")
+        ramp = np.linspace(0, 1, IMAGE_SIZE, dtype=np.float32)
+        with open(d / f"{name}_X.bin", "wb") as f:
+            for lo in range(0, n, chunk):
+                lab = labels[lo : lo + chunk]
+                m = len(lab)
+                imgs = rng.integers(
+                    0, 256, (m, CHANNELS, IMAGE_SIZE, IMAGE_SIZE), dtype=np.uint16
+                ).astype(np.float32)
+                if class_correlated:
+                    mean = np.stack(
+                        [
+                            50 + 20 * (lab % 5),
+                            50 + 20 * ((lab + 2) % 5),
+                            50 + 20 * ((lab + 4) % 5),
+                        ],
+                        axis=1,
+                    ).astype(np.float32)  # (m, C)
+                    sign = np.where(lab % 2 == 0, 1.0, -1.0).astype(np.float32)
+                    offset = np.where(lab % 2 == 1, 40.0, 0.0).astype(np.float32)
+                    grad = (
+                        80.0 * sign[:, None] * ramp[None, :] + offset[:, None]
+                    )  # (m, W)
+                    imgs = (
+                        0.25 * imgs
+                        + mean[:, :, None, None]
+                        + grad[:, None, None, :]
+                    )
+                np.clip(imgs, 0, 255).astype(np.uint8).tofile(f)
         if labeled:
             (labels + 1).astype(np.uint8).tofile(d / f"{name}_y.bin")
 

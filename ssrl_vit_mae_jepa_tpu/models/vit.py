@@ -93,6 +93,56 @@ class Attention(nn.Module):
         return out
 
 
+class _LNParams(nn.Module):
+    """Declares LayerNorm params (same tree/init as ``nn.LayerNorm``)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones_init(), (self.dim,), jnp.float32),
+            self.param("bias", nn.initializers.zeros_init(), (self.dim,), jnp.float32),
+        )
+
+
+class _DenseParams(nn.Module):
+    """Declares Dense params (same tree/init as the ``nn.Dense`` calls here)."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", trunc_normal_init, (self.in_dim, self.out_dim), jnp.float32),
+            self.param("bias", nn.initializers.zeros_init(), (self.out_dim,), jnp.float32),
+        )
+
+
+class _AttnParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            _DenseParams(self.dim, 3 * self.dim, name="qkv")(),
+            _DenseParams(self.dim, self.dim, name="proj")(),
+        )
+
+
+class _MlpParams(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            _DenseParams(self.dim, self.hidden, name="fc1")(),
+            _DenseParams(self.hidden, self.dim, name="fc2")(),
+        )
+
+
 class Block(nn.Module):
     dim: int
     num_heads: int
@@ -102,6 +152,38 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ssrl_vit_mae_jepa_tpu.ops.block_pallas import (
+            block_impl,
+            fused_attn_branch,
+            fused_block,
+            fused_mlp_branch,
+        )
+
+        B, L, D = x.shape
+        hidden = int(self.dim * self.mlp_ratio)
+        mode = block_impl(B, L, D, self.num_heads, hidden, x.dtype, self.attn_impl)
+        if mode is not None:
+            # fused-block Pallas kernels: sub-layer boundaries stay in VMEM,
+            # backward rematerializes in VMEM, weight grads accumulate in
+            # fp32 across the grid — kills the inter-op HBM round-trips and
+            # layout copies that dominate at small per-chip batch
+            # (docs/PERFORMANCE.md round-2 profile). "split" (production)
+            # fuses each residual branch separately so attention scores are
+            # built exactly once per pass; "mono" (ablation) fuses the whole
+            # block. Param tree is identical to the sub-module path below
+            # (checkpoint/freeze/torch-interop compatible).
+            s1, b1 = _LNParams(D, name="norm1")()
+            (wqkv, bqkv), (wp, bp) = _AttnParams(D, name="attn")()
+            s2, b2 = _LNParams(D, name="norm2")()
+            (w1, b1f), (w2, b2f) = _MlpParams(D, hidden, name="mlp")()
+            x = x.astype(self.dtype)
+            if mode == "mono":
+                return fused_block(
+                    x, s1, b1, wqkv, bqkv, wp, bp,
+                    s2, b2, w1, b1f, w2, b2f, self.num_heads,
+                )
+            x = fused_attn_branch(x, s1, b1, wqkv, bqkv, wp, bp, self.num_heads)
+            return fused_mlp_branch(x, s2, b2, w1, b1f, w2, b2f)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(
             self.dim, self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,

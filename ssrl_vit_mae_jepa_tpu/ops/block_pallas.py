@@ -1,0 +1,705 @@
+"""Fused transformer-Block Pallas kernel: the whole pre-LN block in VMEM.
+
+The model's geometry (D=144/192, L=37/145, ~1.1M params) makes every
+individual op tiny: at the throughput-optimal per-chip batch (384) the step
+is bandwidth/boundary-bound, not FLOP-bound — the round-1 profile shows
+~5.9 ms of small XLA fusions plus ~2.5 ms of pure layout copies per 16 ms
+step, most of them at sub-layer boundaries inside the transformer blocks
+(docs/PERFORMANCE.md). The TPU-first fix is to stop round-tripping HBM
+between sub-layers entirely: ONE Pallas kernel computes
+
+    y1 = LN1(x) ; qkv = y1 Wqkv + bqkv ; a = head-stacked-attention(qkv)
+    x_mid = x + (a Wp + bp)
+    y2 = LN2(x_mid) ; h = gelu(y2 W1 + b1) ; x_out = x_mid + (h W2 + b2)
+
+per image group, with every intermediate VMEM-resident. The backward kernel
+rematerializes the forward from (x, weights) in VMEM — flash-attention-style
+remat extended to the whole block (activations never touch HBM) — and
+accumulates the twelve weight gradients in fp32 across the sequential grid
+(constant output block index ⇒ the accumulators live in VMEM for the whole
+sweep and are written back once).
+
+Replaces the per-sub-layer path (flax modules + ``attention_pallas_stacked``)
+on TPU; that path remains as the `impl="stacked"`/CPU/parity reference. The
+attention core (head-stacked Q with disjoint-slot masks, plain row softmax)
+is shared with ``attention_pallas_stacked`` — see that module's docstring for
+the math and its measured lineage.
+
+Numerics: bf16 GEMMs with fp32 accumulation (``preferred_element_type``),
+LayerNorm statistics/affine and softmax in fp32, exact (erf) GELU, fp32
+weight-gradient accumulators — at least as precise as the flax path it
+replaces (reference trains under torch bf16-mixed autocast,
+``scripts/training/pretrain_mae.py:123``).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_stacked import (
+    _attn_bwd_one,
+    _attn_fwd_one,
+    _masks,
+)
+
+_EPS = 1e-6
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def supported(B: int, H: int, L: int, D: int, F: int, dtype_name: str) -> bool:
+    """Shape/VMEM guard for the fused block kernel."""
+    if dtype_name not in ("bfloat16", "float32"):
+        return False
+    if D % H or L > 1024 or H * L > 4096:
+        return False
+    G = _group(B)
+    if B % G:
+        return False
+    Lp = -(-L // 128) * 128
+    itm = 4 * (4 * H * L * max(Lp, D) + 3 * L * F + 4 * L * 3 * D)  # fp32 live set
+    weights = 2 * (3 * D * D + D * D + 2 * D * F)
+    grads = 2 * weights
+    blocks = 3 * G * L * D * 2
+    return itm + weights + grads + blocks < 10 * 1024 * 1024
+
+
+def _group(B: int, env_var: str = "SSRL_BLOCK_GROUP") -> int:
+    override = os.environ.get(env_var)
+    if override:
+        return int(override)
+    for g in (2,):
+        if B % g == 0:
+            return g
+    return 1
+
+
+def _flat_group(B: int, L: int) -> int | None:
+    """Images per grid step for the flat (G·L, D) split kernels.
+
+    Mosaic requires the block's sublane dim (G·L) divisible by 8 (or equal to
+    the full array), so odd L forces G ∈ {8, 16, …}. Falls back to the whole
+    batch in one grid step for small problems, else None (unsupported).
+    """
+    override = os.environ.get("SSRL_BLOCK_GROUP")
+    if override:
+        g = int(override)
+        if B % g == 0 and (g * L) % 8 == 0:
+            return g
+    for g in (8, 16, 24, 4, 2, 1):
+        if B % g == 0 and (g * L) % 8 == 0 and g != B:
+            return g
+    if B * L <= 4096:
+        return B  # single grid step; block == full array is always legal
+    return None
+
+
+def _ln_fwd(x, s, b):
+    """fp32 LayerNorm. x (L, D) any dtype; s/b (1, D) fp32 → (y_f32, xhat, inv)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + _EPS)
+    xhat = xc * inv
+    return xhat * s + b, xhat, inv
+
+
+def _ln_bwd(dy, xhat, inv, s):
+    """dy (L, D) fp32 → (dx fp32, dscale (1, D), dbias (1, D))."""
+    g0 = dy * s
+    dx = (
+        g0
+        - jnp.mean(g0, axis=-1, keepdims=True)
+        - xhat * jnp.mean(g0 * xhat, axis=-1, keepdims=True)
+    ) * inv
+    ds = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    db = jnp.sum(dy, axis=0, keepdims=True)
+    return dx, ds, db
+
+
+def _erf(x):
+    """erf via Abramowitz–Stegun 7.1.26 (max abs err 1.5e-7, fp32).
+
+    Mosaic has no ``erf`` lowering; this rational approximation is exact to
+    well below bf16 resolution, so the kernel's GELU matches flax's
+    ``approximate=False`` GELU at model precision.
+    """
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    y = 1.0 - poly * jnp.exp(-a * a)
+    return jnp.sign(x) * y
+
+
+def _gelu_fwd(z):
+    """Exact (erf) GELU on fp32 z."""
+    return 0.5 * z * (1.0 + _erf(z * _INV_SQRT2))
+
+
+def _gelu_vjp(z):
+    """gelu'(z) = Φ(z) + z·φ(z), fp32."""
+    phi_c = 0.5 * (1.0 + _erf(z * _INV_SQRT2))
+    pdf = jnp.exp(-0.5 * z * z) * _INV_SQRT_2PI
+    return phi_c + z * pdf
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_tn(a, b):
+    """aᵀ b with fp32 accumulation: (L, M)ᵀ (L, N) → (M, N)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_nt(a, b):
+    """a bᵀ with fp32 accumulation: (L, N) (M, N)ᵀ → (L, M)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _block_fwd_one(x, w, *, masks, masks_f, scale, L, cast):
+    """One image forward. x (L, D) bf16 → (x_out, intermediates for bwd)."""
+    (s1, b1, wqkv, bqkv, wp, bp, s2, b2, w1, b1f, w2, b2f) = w
+    y1_f, xhat1, inv1 = _ln_fwd(x, s1, b1)
+    y1 = y1_f.astype(cast)
+    qkv = (_dot(y1, wqkv) + bqkv).astype(cast)  # (L, 3D)
+    D = x.shape[-1]
+    a = _attn_fwd_one(
+        qkv[:, :D], qkv[:, D : 2 * D], qkv[:, 2 * D :],
+        masks=masks, masks_f=masks_f, scale=scale, L=L,
+    ).astype(cast)  # (L, D)
+    p = (_dot(a, wp) + bp).astype(cast)
+    x_mid = x + p
+    y2_f, xhat2, inv2 = _ln_fwd(x_mid, s2, b2)
+    y2 = y2_f.astype(cast)
+    z = _dot(y2, w1) + b1f  # (L, F) fp32
+    h = _gelu_fwd(z).astype(cast)
+    m = (_dot(h, w2) + b2f).astype(cast)
+    x_out = x_mid + m
+    return x_out, (y1, qkv, a, x_mid, y2, z, h, xhat1, inv1, xhat2, inv2)
+
+
+def _block_bwd_one(x, w, dy, *, masks, masks_f, scale, L, cast):
+    """One image backward via full in-VMEM recompute.
+
+    Returns (dx bf16, twelve fp32 weight grads in parameter order).
+    """
+    (s1, b1, wqkv, bqkv, wp, bp, s2, b2, w1, b1f, w2, b2f) = w
+    _, (y1, qkv, a, x_mid, y2, z, h, xhat1, inv1, xhat2, inv2) = _block_fwd_one(
+        x, w, masks=masks, masks_f=masks_f, scale=scale, L=L, cast=cast
+    )
+    g = dy.astype(cast)
+    # MLP branch: x_out = x_mid + gelu(LN2(x_mid) W1 + b1) W2 + b2
+    dw2 = _dot_tn(h, g)
+    db2f = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+    dh = _dot_nt(g, w2)  # (L, F) fp32
+    dz = dh * _gelu_vjp(z)
+    dzc = dz.astype(cast)
+    dw1 = _dot_tn(y2, dzc)
+    db1f = jnp.sum(dz, axis=0, keepdims=True)
+    dy2 = _dot_nt(dzc, w1)  # (L, D) fp32
+    dx_mid_ln, ds2, db2 = _ln_bwd(dy2, xhat2, inv2, s2)
+    dx_mid = g.astype(jnp.float32) + dx_mid_ln  # residual + LN2 path, fp32
+    # Attention branch: x_mid = x + (attn(LN1(x) Wqkv + bqkv) Wp + bp)
+    dp = dx_mid.astype(cast)
+    dwp = _dot_tn(a, dp)
+    dbp = jnp.sum(dx_mid, axis=0, keepdims=True)
+    da = _dot_nt(dp, wp).astype(cast)  # (L, D)
+    D = x.shape[-1]
+    dq, dk, dv = _attn_bwd_one(
+        qkv[:, :D], qkv[:, D : 2 * D], qkv[:, 2 * D :], da,
+        masks=masks, masks_f=masks_f, scale=scale, L=L,
+    )
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)  # (L, 3D) fp32
+    dqkvc = dqkv.astype(cast)
+    dwqkv = _dot_tn(y1, dqkvc)
+    dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
+    dy1 = _dot_nt(dqkvc, wqkv)  # (L, D) fp32
+    dx_ln, ds1, db1 = _ln_bwd(dy1, xhat1, inv1, s1)
+    dx = (dx_mid + dx_ln).astype(x.dtype)
+    return dx, (ds1, db1, dwqkv, dbqkv, dwp, dbp, ds2, db2, dw1, db1f, dw2, db2f)
+
+
+_W_NAMES = (
+    "ln1_scale", "ln1_bias", "wqkv", "bqkv", "wproj", "bproj",
+    "ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2",
+)
+
+
+def _fwd_kernel(x_ref, *rest, H, d, L, scale, G):
+    w_refs, (o_ref,) = rest[:12], rest[12:]
+    D = H * d
+    cast = x_ref.dtype
+    masks = _masks(H, d, D, cast)
+    masks_f = [m.astype(jnp.float32) for m in masks]
+    w = tuple(r[...] for r in w_refs)
+    for g in range(G):
+        x_out, _ = _block_fwd_one(
+            x_ref[g], w, masks=masks, masks_f=masks_f, scale=scale, L=L, cast=cast
+        )
+        o_ref[g] = x_out.astype(o_ref.dtype)
+
+
+def _bwd_kernel(x_ref, *rest, H, d, L, scale, G):
+    w_refs = rest[:12]
+    dy_ref = rest[12]
+    dx_ref = rest[13]
+    grad_refs = rest[14:]
+    D = H * d
+    cast = x_ref.dtype
+    masks = _masks(H, d, D, cast)
+    masks_f = [m.astype(jnp.float32) for m in masks]
+    w = tuple(r[...] for r in w_refs)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in grad_refs:
+            r[...] = jnp.zeros_like(r)
+
+    acc = None
+    for g in range(G):
+        dx, grads = _block_bwd_one(
+            x_ref[g], w, dy_ref[g],
+            masks=masks, masks_f=masks_f, scale=scale, L=L, cast=cast,
+        )
+        dx_ref[g] = dx.astype(dx_ref.dtype)
+        acc = grads if acc is None else tuple(a + gr for a, gr in zip(acc, grads))
+    for r, gr in zip(grad_refs, acc):
+        r[...] += gr
+
+
+def _as2d(v):
+    return v.reshape(1, -1) if v.ndim == 1 else v
+
+
+def _prep(params, cast):
+    """Reference-shaped fp32 params → kernel layouts (LN fp32, GEMM cast)."""
+    s1, b1, wqkv, bqkv, wp, bp, s2, b2, w1, b1f, w2, b2f = params
+    return (
+        _as2d(s1).astype(jnp.float32), _as2d(b1).astype(jnp.float32),
+        wqkv.astype(cast), _as2d(bqkv).astype(cast),
+        wp.astype(cast), _as2d(bp).astype(cast),
+        _as2d(s2).astype(jnp.float32), _as2d(b2).astype(jnp.float32),
+        w1.astype(cast), _as2d(b1f).astype(cast),
+        w2.astype(cast), _as2d(b2f).astype(cast),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13,))
+def fused_block(
+    x, ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj,
+    ln2_scale, ln2_bias, w1, b1, w2, b2, num_heads,
+):
+    """Whole pre-LN transformer block as one Pallas kernel.
+
+    ``x`` (B, L, D) bf16/fp32; weights in flax layouts (fp32, vectors 1-D).
+    Matches ``models.vit.Block`` (timm block contract, SURVEY.md §2.2).
+    """
+    params = (ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj,
+              ln2_scale, ln2_bias, w1, b1, w2, b2)
+    return _fb_fwd_impl(x, params, num_heads)
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+
+def _fb_fwd_impl(x, params, H):
+    B, L, D = x.shape
+    d = D // H
+    F = params[8].shape[-1]
+    scale = 1.0 / (d**0.5)
+    G = _group(B)
+    kp = _prep(params, x.dtype)
+    xspec = pl.BlockSpec((G, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, H=H, d=d, L=L, scale=scale, G=G),
+        grid=(B // G,),
+        in_specs=[xspec] + [_full_spec(p.shape) for p in kp],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((B, L, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * L * (3 * D * D + D * D + 2 * D * F + 2 * H * L * d),
+            bytes_accessed=2 * B * L * D * x.dtype.itemsize,
+            transcendentals=B * (H * L * L + L * F),
+        ),
+    )(x, *kp)
+    return out
+
+
+def _fb_vjp_fwd(
+    x, ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj,
+    ln2_scale, ln2_bias, w1, b1, w2, b2, num_heads,
+):
+    params = (ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj,
+              ln2_scale, ln2_bias, w1, b1, w2, b2)
+    return _fb_fwd_impl(x, params, num_heads), (x, params)
+
+
+def _fb_vjp_bwd(num_heads, res, g):
+    x, params = res
+    H = num_heads
+    B, L, D = x.shape
+    d = D // H
+    F = params[8].shape[-1]
+    scale = 1.0 / (d**0.5)
+    G = _group(B)
+    kp = _prep(params, x.dtype)
+    xspec = pl.BlockSpec((G, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    grad_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in kp]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, H=H, d=d, L=L, scale=scale, G=G),
+        grid=(B // G,),
+        in_specs=[xspec] + [_full_spec(p.shape) for p in kp] + [xspec],
+        out_specs=tuple([xspec] + [_full_spec(p.shape) for p in kp]),
+        out_shape=tuple([jax.ShapeDtypeStruct((B, L, D), x.dtype)] + grad_shapes),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * L * (3 * D * D + D * D + 2 * D * F + 2 * H * L * d),
+            bytes_accessed=4 * B * L * D * x.dtype.itemsize,
+            transcendentals=2 * B * (H * L * L + L * F),
+        ),
+    )(x, *kp, g)
+    dx = outs[0]
+    dparams = [
+        gr.reshape(p.shape).astype(p.dtype)
+        for gr, p in zip(outs[1:], params)
+    ]
+    return (dx, *dparams)
+
+
+fused_block.defvjp(_fb_vjp_fwd, _fb_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Split-branch kernels — the production path.
+#
+# The mono-kernel above recomputes the WHOLE forward in its backward, so the
+# expensive attention scores are computed twice on the backward pass (once in
+# the block recompute, once inside the attention backward itself) — measured
+# 18.7 ms device vs 16.2 for the per-sub-layer path at B=384. Splitting the
+# block at the residual boundary fixes the recompute asymmetry:
+#
+#   attn branch: x → x + proj(attention(qkv(LN1(x))))   — backward recomputes
+#     only LN1+qkv (one cheap GEMM); the attention output `a` (needed for
+#     dW_proj) is stashed to HBM from the forward (21 MB/step ≈ 0.05 ms,
+#     far cheaper than recomputing scores+softmax+PV);
+#   mlp branch:  x → x + fc2(gelu(fc1(LN2(x))))         — backward recomputes
+#     LN2+fc1+gelu (cheap).
+#
+# Each branch still keeps every intermediate in VMEM and accumulates its
+# weight grads in fp32 across the grid, but the attention scores are built
+# exactly once per pass — same as the stacked attention kernel — while all
+# the surrounding GEMM/LN/elementwise XLA fusions and layout copies collapse
+# into the kernels.
+# ---------------------------------------------------------------------------
+
+
+def _attn_branch_fwd_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, o_ref, a_ref,
+                            *, H, d, L, scale, G):
+    # flat (G·L, D) block: LN/qkv/proj run as ONE GEMM over all G images
+    # (M = G·L keeps the MXU M-tiling dense); attention is per-image on
+    # static row slices.
+    D = H * d
+    cast = x_ref.dtype
+    masks = _masks(H, d, D, cast)
+    masks_f = [m.astype(jnp.float32) for m in masks]
+    x = x_ref[...]
+    y1, _, _ = _ln_fwd(x, s1[...], b1[...])
+    y1 = y1.astype(cast)
+    qkv = (_dot(y1, wqkv[...]) + bqkv[...]).astype(cast)  # (G·L, 3D)
+    a_parts = []
+    for g in range(G):
+        rows = slice(g * L, (g + 1) * L)
+        a_parts.append(
+            _attn_fwd_one(
+                qkv[rows, :D], qkv[rows, D : 2 * D], qkv[rows, 2 * D :],
+                masks=masks, masks_f=masks_f, scale=scale, L=L,
+            ).astype(cast)
+        )
+    a = jnp.concatenate(a_parts, axis=0) if G > 1 else a_parts[0]
+    a_ref[...] = a
+    p = (_dot(a, wp[...]) + bp[...]).astype(cast)
+    o_ref[...] = x + p
+
+
+def _attn_branch_bwd_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, a_ref, g_ref,
+                            dx_ref, ds1, db1, dwqkv, dbqkv, dwp, dbp,
+                            *, H, d, L, scale, G):
+    D = H * d
+    cast = x_ref.dtype
+    masks = _masks(H, d, D, cast)
+    masks_f = [m.astype(jnp.float32) for m in masks]
+    grad_refs = (ds1, db1, dwqkv, dbqkv, dwp, dbp)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in grad_refs:
+            r[...] = jnp.zeros_like(r)
+
+    x = x_ref[...]
+    gy = g_ref[...]
+    a = a_ref[...]
+    y1_f, xhat1, inv1 = _ln_fwd(x, s1[...], b1[...])
+    y1 = y1_f.astype(cast)
+    qkv = (_dot(y1, wqkv[...]) + bqkv[...]).astype(cast)
+    dp = gy.astype(cast)
+    dwp[...] += _dot_tn(a, dp)
+    dbp[...] += jnp.sum(gy.astype(jnp.float32), axis=0, keepdims=True)
+    da = _dot_nt(dp, wp[...]).astype(cast)
+    dqkv_parts = []
+    for g in range(G):
+        rows = slice(g * L, (g + 1) * L)
+        dq, dk, dv = _attn_bwd_one(
+            qkv[rows, :D], qkv[rows, D : 2 * D], qkv[rows, 2 * D :], da[rows],
+            masks=masks, masks_f=masks_f, scale=scale, L=L,
+        )
+        dqkv_parts.append(jnp.concatenate([dq, dk, dv], axis=-1))
+    dqkv = jnp.concatenate(dqkv_parts, axis=0) if G > 1 else dqkv_parts[0]
+    dqkvc = dqkv.astype(cast)
+    dwqkv[...] += _dot_tn(y1, dqkvc)
+    dbqkv[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dy1 = _dot_nt(dqkvc, wqkv[...])
+    dx_ln, i_ds1, i_db1 = _ln_bwd(dy1, xhat1, inv1, s1[...])
+    ds1[...] += i_ds1
+    db1[...] += i_db1
+    dx_ref[...] = (gy.astype(jnp.float32) + dx_ln).astype(dx_ref.dtype)
+
+
+def _mlp_branch_fwd_kernel(x_ref, s2, b2, w1, b1f, w2, b2f, o_ref):
+    cast = x_ref.dtype
+    x = x_ref[...]
+    y2, _, _ = _ln_fwd(x, s2[...], b2[...])
+    y2 = y2.astype(cast)
+    z = (_dot(y2, w1[...]) + b1f[...]).astype(cast)  # bf16 z, like the flax path
+    h = _gelu_fwd(z.astype(jnp.float32)).astype(cast)
+    m = (_dot(h, w2[...]) + b2f[...]).astype(cast)
+    o_ref[...] = x + m
+
+
+def _mlp_branch_bwd_kernel(x_ref, s2, b2, w1, b1f, w2, b2f, g_ref,
+                           dx_ref, ds2, db2, dw1, db1f, dw2, db2f):
+    cast = x_ref.dtype
+    grad_refs = (ds2, db2, dw1, db1f, dw2, db2f)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in grad_refs:
+            r[...] = jnp.zeros_like(r)
+
+    x = x_ref[...]
+    gy = g_ref[...]
+    y2_f, xhat2, inv2 = _ln_fwd(x, s2[...], b2[...])
+    y2 = y2_f.astype(cast)
+    z = (_dot(y2, w1[...]) + b1f[...]).astype(cast)
+    zf = z.astype(jnp.float32)
+    h = _gelu_fwd(zf).astype(cast)
+    gc = gy.astype(cast)
+    dw2[...] += _dot_tn(h, gc)
+    db2f[...] += jnp.sum(gy.astype(jnp.float32), axis=0, keepdims=True)
+    dh = _dot_nt(gc, w2[...])
+    dz = dh * _gelu_vjp(zf)
+    dzc = dz.astype(cast)
+    dw1[...] += _dot_tn(y2, dzc)
+    db1f[...] += jnp.sum(dz, axis=0, keepdims=True)
+    dy2 = _dot_nt(dzc, w1[...])
+    dx_ln, i_ds2, i_db2 = _ln_bwd(dy2, xhat2, inv2, s2[...])
+    ds2[...] += i_ds2
+    db2[...] += i_db2
+    dx_ref[...] = (gy.astype(jnp.float32) + dx_ln).astype(dx_ref.dtype)
+
+
+def _prep6(params, cast):
+    """(ln_s, ln_b, wa, ba, wb, bb) → kernel layouts."""
+    s, b, wa, ba, wb, bb = params
+    return (
+        _as2d(s).astype(jnp.float32), _as2d(b).astype(jnp.float32),
+        wa.astype(cast), _as2d(ba).astype(cast),
+        wb.astype(cast), _as2d(bb).astype(cast),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_attn_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads):
+    """x + proj(head-stacked-attention(qkv(LN(x)))) as one Pallas kernel."""
+    return _ab_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads)[0]
+
+
+def _flat_spec(G, L, D):
+    """Flat (G·L, D) block over a (B·L, D) array (M-dense MXU tiling)."""
+    return pl.BlockSpec((G * L, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _ab_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads):
+    params = (ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
+    B, L, D = x.shape
+    H = num_heads
+    d = D // H
+    scale = 1.0 / (d**0.5)
+    G = _flat_group(B, L)
+    kp = _prep6(params, x.dtype)
+    xspec = _flat_spec(G, L, D)
+    shape = jax.ShapeDtypeStruct((B * L, D), x.dtype)
+    xo, a = pl.pallas_call(
+        functools.partial(_attn_branch_fwd_kernel, H=H, d=d, L=L, scale=scale, G=G),
+        grid=(B // G,),
+        in_specs=[xspec] + [_full_spec(p.shape) for p in kp],
+        out_specs=(xspec, xspec),
+        out_shape=(shape, shape),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * L * (3 * D * D + D * D + 2 * H * L * d),
+            bytes_accessed=3 * B * L * D * x.dtype.itemsize,
+            transcendentals=B * H * L * L,
+        ),
+    )(x.reshape(B * L, D), *kp)
+    return xo.reshape(B, L, D), (x, params, a)
+
+
+def _ab_bwd(num_heads, res, g):
+    x, params, a = res
+    B, L, D = x.shape
+    H = num_heads
+    d = D // H
+    scale = 1.0 / (d**0.5)
+    G = _flat_group(B, L)
+    kp = _prep6(params, x.dtype)
+    xspec = _flat_spec(G, L, D)
+    grad_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in kp]
+    outs = pl.pallas_call(
+        functools.partial(_attn_branch_bwd_kernel, H=H, d=d, L=L, scale=scale, G=G),
+        grid=(B // G,),
+        in_specs=[xspec] + [_full_spec(p.shape) for p in kp] + [xspec, xspec],
+        out_specs=tuple([xspec] + [_full_spec(p.shape) for p in kp]),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((B * L, D), x.dtype)] + grad_shapes
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * B * L * (3 * D * D + D * D + 2 * H * L * d),
+            bytes_accessed=5 * B * L * D * x.dtype.itemsize,
+            transcendentals=B * H * L * L,
+        ),
+    )(x.reshape(B * L, D), *kp, a, g.reshape(B * L, D))
+    dx = outs[0].reshape(B, L, D)
+    dparams = [
+        gr.reshape(p.shape).astype(p.dtype) for gr, p in zip(outs[1:], params)
+    ]
+    return (dx, *dparams)
+
+
+fused_attn_branch.defvjp(
+    lambda x, s, b, wq, bq, wp, bp, H: _ab_fwd(x, s, b, wq, bq, wp, bp, H),
+    _ab_bwd,
+)
+
+
+@jax.custom_vjp
+def fused_mlp_branch(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    """x + fc2(gelu(fc1(LN(x)))) as one Pallas kernel (exact-erf GELU)."""
+    return _mb_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2)[0]
+
+
+def _mb_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    params = (ln_scale, ln_bias, w1, b1, w2, b2)
+    B, L, D = x.shape
+    F = w1.shape[-1]
+    G = _flat_group(B, L)
+    kp = _prep6(params, x.dtype)
+    xspec = _flat_spec(G, L, D)
+    xo = pl.pallas_call(
+        _mlp_branch_fwd_kernel,
+        grid=(B // G,),
+        in_specs=[xspec] + [_full_spec(p.shape) for p in kp],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((B * L, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * L * D * F,
+            bytes_accessed=2 * B * L * D * x.dtype.itemsize,
+            transcendentals=B * L * F,
+        ),
+    )(x.reshape(B * L, D), *kp)
+    return xo.reshape(B, L, D), (x, params)
+
+
+def _mb_bwd(res, g):
+    x, params = res
+    B, L, D = x.shape
+    F = params[2].shape[-1]
+    G = _flat_group(B, L)
+    kp = _prep6(params, x.dtype)
+    xspec = _flat_spec(G, L, D)
+    grad_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in kp]
+    outs = pl.pallas_call(
+        _mlp_branch_bwd_kernel,
+        grid=(B // G,),
+        in_specs=[xspec] + [_full_spec(p.shape) for p in kp] + [xspec],
+        out_specs=tuple([xspec] + [_full_spec(p.shape) for p in kp]),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((B * L, D), x.dtype)] + grad_shapes
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * L * D * F,
+            bytes_accessed=4 * B * L * D * x.dtype.itemsize,
+            transcendentals=2 * B * L * F,
+        ),
+    )(x.reshape(B * L, D), *kp, g.reshape(B * L, D))
+    dx = outs[0].reshape(B, L, D)
+    dparams = [
+        gr.reshape(p.shape).astype(p.dtype) for gr, p in zip(outs[1:], params)
+    ]
+    return (dx, *dparams)
+
+
+fused_mlp_branch.defvjp(_mb_fwd, _mb_bwd)
+
+
+@functools.lru_cache(maxsize=None)
+def _supported_cached(B, H, L, D, F, dtype_name):
+    return supported(B, H, L, D, F, dtype_name)
+
+
+def block_impl(B: int, L: int, D: int, H: int, F: int, dtype, impl: str):
+    """Kernel policy for a transformer block.
+
+    Returns ``"split"`` (production: attn-branch + mlp-branch kernels),
+    ``"mono"`` (whole-block kernel; measured-and-kept for ablation —
+    docs/PERFORMANCE.md), or ``None`` (per-sub-layer flax path). ``auto``
+    picks split on TPU; ``impl='split'``/``'block'`` force (raising when the
+    shape is unsupported); any other explicit impl ("xla", "pallas",
+    "packed", "stacked") keeps the sub-layer path so the kernel lineage
+    stays independently testable.
+    """
+    if impl not in ("auto", "block", "split"):
+        return None
+    try:
+        ok = _supported_cached(B, H, L, D, F, str(dtype))
+    except Exception:
+        return None
+    if impl in ("block", "split"):
+        if not ok:
+            raise ValueError(
+                f"fused block unsupported for B={B} L={L} D={D} H={H} F={F}"
+            )
+        return "mono" if impl == "block" else "split"
+    from ssrl_vit_mae_jepa_tpu.ops.attention import _on_tpu
+
+    return "split" if (ok and _on_tpu()) else None
+
+
+def use_fused_block(B: int, L: int, D: int, H: int, F: int, dtype, impl: str) -> bool:
+    """True when ``block_impl`` selects any fused-block kernel."""
+    return block_impl(B, L, D, H, F, dtype, impl) is not None

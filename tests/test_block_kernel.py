@@ -1,0 +1,154 @@
+"""Fused whole-Block Pallas kernel vs the per-sub-layer flax path.
+
+The fused kernel (``ops/block_pallas.py``) is the production TPU path for
+every transformer block (encoder, decoder, classifier, JEPA); these tests
+pin it — forward AND backward, at the production shapes, in fp32 and bf16 —
+to the flax module path it replaces (which is itself pinned to an
+independent torch golden in tests/test_interop.py). Interpret mode on CPU;
+real-TPU numerics are exercised by tests/smoke_tpu.py and the training runs
+in docs/RESULTS.md.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from ssrl_vit_mae_jepa_tpu.models.vit import Block
+
+
+def _rand(shape, seed, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape, dtype)
+
+
+# (B, L, D, H): both production geometries + an odd small shape (G=1 path)
+PROD_SHAPES = [(4, 37, 144, 6), (2, 145, 192, 6), (3, 17, 48, 4)]
+
+
+class TestFusedBlock:
+    def test_param_tree_identical(self):
+        """The fused branch declares the exact flax param tree (checkpoint,
+        freeze-mask and torch-interop compatibility)."""
+        x = _rand((2, 17, 48), 0)
+        ref = Block(48, 4, dtype=jnp.float32, attn_impl="xla")
+        fused = Block(48, 4, dtype=jnp.float32, attn_impl="block")
+        p_ref = ref.init(jax.random.PRNGKey(1), x)
+        with pltpu.force_tpu_interpret_mode():
+            p_fused = fused.init(jax.random.PRNGKey(1), x)
+        ref_flat = jax.tree_util.tree_leaves_with_path(p_ref)
+        fused_flat = jax.tree_util.tree_leaves_with_path(p_fused)
+        assert [jax.tree_util.keystr(p) for p, _ in ref_flat] == [
+            jax.tree_util.keystr(p) for p, _ in fused_flat
+        ]
+        for (path, a), (_, b) in zip(ref_flat, fused_flat):
+            assert a.shape == b.shape and a.dtype == b.dtype, jax.tree_util.keystr(path)
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(path)
+            )
+
+    @pytest.mark.parametrize("B,L,D,H", PROD_SHAPES)
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_forward(self, B, L, D, H, dtype):
+        x = _rand((B, L, D), 0, dtype)
+        ref = Block(D, H, dtype=dtype, attn_impl="xla")
+        fused = Block(D, H, dtype=dtype, attn_impl="block")
+        params = ref.init(jax.random.PRNGKey(1), x)
+        out_ref = ref.apply(params, x)
+        with pltpu.force_tpu_interpret_mode():
+            out = fused.apply(params, x)
+        atol = 5e-5 if dtype == jnp.float32 else 6e-2
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(out_ref, np.float32), atol=atol
+        )
+
+    @pytest.mark.parametrize("B,L,D,H", PROD_SHAPES)
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_backward_params_and_input(self, B, L, D, H, dtype):
+        """Every weight gradient + the input gradient match the flax path."""
+        x = _rand((B, L, D), 0, dtype)
+        g = _rand((B, L, D), 7, dtype)
+        ref = Block(D, H, dtype=dtype, attn_impl="xla")
+        fused = Block(D, H, dtype=dtype, attn_impl="block")
+        params = ref.init(jax.random.PRNGKey(1), x)
+
+        def loss(mod):
+            return lambda p, x: jnp.sum(
+                mod.apply(p, x).astype(jnp.float32) * g.astype(jnp.float32)
+            )
+
+        ref_g = jax.grad(loss(ref), argnums=(0, 1))(params, x)
+        with pltpu.force_tpu_interpret_mode():
+            fused_g = jax.grad(loss(fused), argnums=(0, 1))(params, x)
+        # fp32: accumulation-order noise only. bf16: both paths round
+        # activations to bf16 between GEMMs, so sum-reduced bias grads
+        # (up to B·L≈300 cancelling O(1) terms) differ by accumulated bf16
+        # quantization — measured ≤0.32 abs; correctness is pinned by the
+        # fp32 variant at 3e-4.
+        atol = 3e-4 if dtype == jnp.float32 else 5e-1
+        rtol = 1e-6 if dtype == jnp.float32 else 5e-2
+        flat_ref = jax.tree_util.tree_leaves_with_path(ref_g)
+        flat_fused = jax.tree_util.tree_leaves(fused_g)
+        assert len(flat_ref) == len(flat_fused)
+        for (path, a), b in zip(flat_ref, flat_fused):
+            np.testing.assert_allclose(
+                np.asarray(b, np.float32), np.asarray(a, np.float32),
+                atol=atol, rtol=rtol,
+                err_msg=f"{jax.tree_util.keystr(path)} at L={L} D={D} {dtype}",
+            )
+
+    def test_erf_approximation(self):
+        """In-kernel erf (A&S 7.1.26) matches jax.lax.erf to <1e-6."""
+        from ssrl_vit_mae_jepa_tpu.ops.block_pallas import _erf
+
+        x = jnp.linspace(-6.0, 6.0, 4001, dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(_erf(x)), np.asarray(jax.lax.erf(x)), atol=1e-6
+        )
+
+    def test_unsupported_raises_when_forced(self):
+        from ssrl_vit_mae_jepa_tpu.ops.block_pallas import use_fused_block
+
+        with pytest.raises(ValueError):
+            use_fused_block(4, 37, 100, 6, 400, jnp.bfloat16, "block")  # D % H
+
+    def test_supported_boundaries(self):
+        from ssrl_vit_mae_jepa_tpu.ops.block_pallas import supported
+
+        assert supported(384, 6, 37, 144, 576, "bfloat16")   # encoder
+        assert supported(384, 6, 145, 192, 768, "bfloat16")  # decoder
+        assert not supported(4, 6, 37, 100, 400, "bfloat16")    # D % H
+        assert not supported(4, 4, 2048, 64, 256, "bfloat16")   # L too long
+        assert not supported(4, 6, 145, 192, 768, "float16")    # dtype
+        assert not supported(64, 8, 512, 1024, 4096, "float32")  # VMEM
+
+    def test_whole_mae_backward_forced_block(self, rng=jax.random.PRNGKey(2)):
+        """Gradients of the full MAE loss: forced-fused-block ≡ XLA path."""
+        from ssrl_vit_mae_jepa_tpu.models.mae import MaskedAutoencoder
+        from ssrl_vit_mae_jepa_tpu.ops.masking import random_token_mask
+
+        kw = dict(image_size=32, patch_size=8, embed_dim=48, depth=2,
+                  num_heads=4, decoder_embed_dim=24, decoder_depth=1,
+                  decoder_num_heads=2, dtype=jnp.float32)
+        images = _rand((2, 32, 32, 3), 11)
+        idx_keep, idx_mask = random_token_mask(jax.random.PRNGKey(3), 2, 17, 8)
+
+        def loss(params, model):
+            pred, target = model.apply(params, images, idx_keep, idx_mask)
+            return jnp.mean((pred - target) ** 2)
+
+        mae_x = MaskedAutoencoder(attn_impl="xla", **kw)
+        params = mae_x.init(rng, images, idx_keep, idx_mask)
+        ref_grads = jax.grad(loss)(params, mae_x)
+        mae_b = MaskedAutoencoder(attn_impl="block", **kw)
+        with pltpu.force_tpu_interpret_mode():
+            blk_grads = jax.grad(loss)(params, mae_b)
+
+        flat_ref = jax.tree_util.tree_leaves_with_path(ref_grads)
+        flat_blk = jax.tree_util.tree_leaves(blk_grads)
+        assert len(flat_ref) == len(flat_blk)
+        for (path, a), b in zip(flat_ref, flat_blk):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-4,
+                err_msg=jax.tree_util.keystr(path),
+            )
