@@ -58,6 +58,7 @@ def main():
         output_dir=output_dir,
         seed=cfg.get("seed", 73),
         log_every_n_steps=log_cfg.get("log_every_n_steps"),
+        ckpt_backend=log_cfg.get("ckpt_backend", "native"),
         periodic_ckpt_every=25,
         hyper_parameters={"model_cfg": model_cfg, "training_cfg": jepa_cfg},
     )

@@ -48,6 +48,13 @@ from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_stacked import (
     _masks,
 )
 
+# Scoped-VMEM ceiling per kernel invocation. The flat split-branch kernels
+# hold ~17 MB of fp32 intermediates at (G*L=1160, F=768); XLA's default
+# 16 MB scoped-vmem budget trips once the scheduler overlaps kernels at
+# large batch (first seen at B>=1536: "Scoped allocation with size 17.05M
+# and limit 16.00M"). 32 MB leaves 2x headroom inside v5e's 128 MB VMEM.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
 _EPS = 1e-6
 _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
@@ -334,6 +341,7 @@ def _fb_fwd_impl(x, params, H):
         in_specs=[xspec] + [_full_spec(p.shape) for p in kp],
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((B, L, D), x.dtype),
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * L * (3 * D * D + D * D + 2 * D * F + 2 * H * L * d),
             bytes_accessed=2 * B * L * D * x.dtype.itemsize,
@@ -369,6 +377,7 @@ def _fb_vjp_bwd(num_heads, res, g):
         in_specs=[xspec] + [_full_spec(p.shape) for p in kp] + [xspec],
         out_specs=tuple([xspec] + [_full_spec(p.shape) for p in kp]),
         out_shape=tuple([jax.ShapeDtypeStruct((B, L, D), x.dtype)] + grad_shapes),
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=6 * B * L * (3 * D * D + D * D + 2 * D * F + 2 * H * L * d),
             bytes_accessed=4 * B * L * D * x.dtype.itemsize,
@@ -561,6 +570,7 @@ def _ab_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads):
         in_specs=[xspec] + [_full_spec(p.shape) for p in kp],
         out_specs=(xspec, xspec),
         out_shape=(shape, shape),
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * L * (3 * D * D + D * D + 2 * H * L * d),
             bytes_accessed=3 * B * L * D * x.dtype.itemsize,
@@ -588,6 +598,7 @@ def _ab_bwd(num_heads, res, g):
         out_shape=tuple(
             [jax.ShapeDtypeStruct((B * L, D), x.dtype)] + grad_shapes
         ),
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=5 * B * L * (3 * D * D + D * D + 2 * H * L * d),
             bytes_accessed=5 * B * L * D * x.dtype.itemsize,
@@ -626,6 +637,7 @@ def _mb_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2):
         in_specs=[xspec] + [_full_spec(p.shape) for p in kp],
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((B * L, D), x.dtype),
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * L * D * F,
             bytes_accessed=2 * B * L * D * x.dtype.itemsize,
@@ -651,6 +663,7 @@ def _mb_bwd(res, g):
         out_shape=tuple(
             [jax.ShapeDtypeStruct((B * L, D), x.dtype)] + grad_shapes
         ),
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=10 * B * L * D * F,
             bytes_accessed=4 * B * L * D * x.dtype.itemsize,
