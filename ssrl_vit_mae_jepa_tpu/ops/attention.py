@@ -76,6 +76,14 @@ def use_packed(B: int, L: int, D: int, num_heads: int, dtype, impl: str) -> bool
                 f"fused attention unsupported for B={B} L={L} D={D} H={num_heads}"
             )
         return True
+    # auto excludes D < 128 (sub-lane-tile model dim): measured HARD FAULT
+    # of the v5e worker at the JEPA-predictor shape (L=145, D=96, d=16) in
+    # both the stacked-qkv kernel and the fused-block kernels, while every
+    # D=144/192 shape passes — Mosaic mishandles the 96→128 lane padding.
+    # Such shapes take the XLA einsum path (always correct; these layers
+    # are small). Forcing impl="packed" still allows them (interpret tests).
+    if D < 128 or (D // num_heads) < 24:
+        return False
     return ok and _on_tpu()
 
 

@@ -710,6 +710,16 @@ def block_impl(B: int, L: int, D: int, H: int, F: int, dtype, impl: str):
         return "mono" if impl == "block" else "split"
     from ssrl_vit_mae_jepa_tpu.ops.attention import _on_tpu
 
+    # auto additionally requires D >= 128 and head dim >= 24: D=96/d=16
+    # (the JEPA predictor) HARD-FAULTS the TPU in the flat split kernels
+    # (measured: worker crash at L=145, D=96, H=6; every D=144/192 shape
+    # passes) — Mosaic mishandles the sub-lane-tile 96→128 padding with
+    # per-image row slices at odd offsets. Those shapes auto-route to the
+    # proven stacked-attention sub-layer path instead; forcing
+    # impl='split'/'block' still works (interpret-mode tests, future
+    # Mosaic revisit).
+    if D < 128 or (D // H) < 24:
+        return None
     return "split" if (ok and _on_tpu()) else None
 
 

@@ -122,6 +122,28 @@ class TestFusedBlock:
         assert not supported(4, 6, 145, 192, 768, "float16")    # dtype
         assert not supported(64, 8, 512, 1024, 4096, "float32")  # VMEM
 
+    def test_auto_policy_excludes_sublane_dims(self):
+        """auto never fuses D<128 or head-dim<24 (TPU kernel fault shapes).
+
+        Measured on v5e: the flat split kernels hard-fault the TPU worker at
+        the JEPA-predictor shape (L=145, D=96, d=16) while every D=144/192
+        shape passes. The auto policy must route such shapes to the
+        sub-layer path regardless of platform.
+        """
+        from ssrl_vit_mae_jepa_tpu.ops.block_pallas import block_impl
+
+        # JEPA predictor: D=96 < 128
+        assert block_impl(64, 145, 96, 6, 384, jnp.bfloat16, "auto") is None
+        # head dim 16 < 24 even with D >= 128
+        assert block_impl(64, 145, 128, 8, 512, jnp.bfloat16, "auto") is None
+        # same gate for the standalone stacked-attention auto policy
+        from ssrl_vit_mae_jepa_tpu.ops.attention import use_packed
+
+        assert not use_packed(64, 145, 96, 6, jnp.bfloat16, "auto")
+        # production shapes unaffected (policy only; kernel choice still
+        # requires a TPU backend at runtime)
+        assert block_impl(384, 37, 144, 6, 576, jnp.bfloat16, "auto") in (None, "split")
+
     def test_whole_mae_backward_forced_block(self, rng=jax.random.PRNGKey(2)):
         """Gradients of the full MAE loss: forced-fused-block ≡ XLA path."""
         from ssrl_vit_mae_jepa_tpu.models.mae import MaskedAutoencoder
