@@ -69,7 +69,12 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ssrl_vit_mae_jepa_tpu.ops.attention import mha_natural_qkv, use_packed
+        from ssrl_vit_mae_jepa_tpu.ops.attention import (
+            mha_natural,
+            mha_natural_qkv,
+            use_packed,
+            use_stacked_split,
+        )
 
         B, L, D = x.shape
         h = self.num_heads
@@ -82,6 +87,14 @@ class Attention(nn.Module):
             # straight from the qkv GEMM — no head transposes, no q/k/v
             # slices, and a single dqkv gradient (no concat) on the way back
             out = mha_natural_qkv(qkv, h)
+        elif use_stacked_split(B, L, D, h, qkv.dtype, self.attn_impl):
+            # sub-lane-tile dims (D<128): slice q/k/v OUTSIDE the kernel
+            # (XLA handles the unaligned lane slices safely) and use the
+            # split-input stacked kernel — the fused-qkv form hard-faults
+            # at these shapes (see ops.attention policy docstrings)
+            out = mha_natural(
+                qkv[..., :D], qkv[..., D : 2 * D], qkv[..., 2 * D :], h
+            )
         else:
             qkv = qkv.reshape(B, L, 3, h, hd).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]

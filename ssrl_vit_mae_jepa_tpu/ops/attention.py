@@ -78,11 +78,33 @@ def use_packed(B: int, L: int, D: int, num_heads: int, dtype, impl: str) -> bool
         return True
     # auto excludes D < 128 (sub-lane-tile model dim): measured HARD FAULT
     # of the v5e worker at the JEPA-predictor shape (L=145, D=96, d=16) in
-    # both the stacked-qkv kernel and the fused-block kernels, while every
-    # D=144/192 shape passes — Mosaic mishandles the 96→128 lane padding.
-    # Such shapes take the XLA einsum path (always correct; these layers
-    # are small). Forcing impl="packed" still allows them (interpret tests).
+    # the stacked-QKV kernel and the fused-block kernels, while every
+    # D=144/192 shape passes. The trigger is the fused (L, 3D) qkv tensor's
+    # in-kernel lane slices at non-tile offsets (96/192) combined with the
+    # 96→128 lane padding; the SPLIT-input stacked kernel (separate q/k/v,
+    # `mha_stacked`) runs the same shape correctly (measured) and is what
+    # `use_stacked_split` routes to. Forcing impl="packed" still allows the
+    # qkv form (interpret tests).
     if D < 128 or (D // num_heads) < 24:
+        return False
+    return ok and _on_tpu()
+
+
+def use_stacked_split(B: int, L: int, D: int, num_heads: int, dtype, impl: str) -> bool:
+    """Auto policy for the split-input stacked kernel on sub-lane-tile dims.
+
+    Shapes `use_packed` rejects only for the D<128 fused-qkv fault (e.g.
+    the JEPA predictor, L=145/D=96/d=16) still run the head-stacked kernel
+    via its separate-q/k/v entry point — hardware-validated at exactly that
+    shape — recovering the round-1 JEPA kernel path.
+    """
+    if impl not in ("auto",):
+        return False
+    if D >= 128 and (D // num_heads) >= 24:
+        return False  # use_packed handles these
+    try:
+        ok = _stacked_supported(B, num_heads, L, D, str(dtype))
+    except Exception:
         return False
     return ok and _on_tpu()
 

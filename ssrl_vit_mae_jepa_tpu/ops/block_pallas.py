@@ -702,8 +702,12 @@ def block_impl(B: int, L: int, D: int, H: int, F: int, dtype, impl: str):
         ok = _supported_cached(B, H, L, D, F, str(dtype))
     except Exception:
         return None
+    # the flat split kernels additionally need a legal image group:
+    # (G·L) % 8 == 0 with G | B (Mosaic sublane constraint) — e.g. B=100
+    # at L=145 has none and must take the mono/sub-layer path
+    splittable = _flat_group(B, L) is not None
     if impl in ("block", "split"):
-        if not ok:
+        if not ok or (impl == "split" and not splittable):
             raise ValueError(
                 f"fused block unsupported for B={B} L={L} D={D} H={H} F={F}"
             )
@@ -720,7 +724,7 @@ def block_impl(B: int, L: int, D: int, H: int, F: int, dtype, impl: str):
     # Mosaic revisit).
     if D < 128 or (D // H) < 24:
         return None
-    return "split" if (ok and _on_tpu()) else None
+    return "split" if (ok and splittable and _on_tpu()) else None
 
 
 def use_fused_block(B: int, L: int, D: int, H: int, F: int, dtype, impl: str) -> bool:

@@ -137,12 +137,25 @@ class TestFusedBlock:
         # head dim 16 < 24 even with D >= 128
         assert block_impl(64, 145, 128, 8, 512, jnp.bfloat16, "auto") is None
         # same gate for the standalone stacked-attention auto policy
-        from ssrl_vit_mae_jepa_tpu.ops.attention import use_packed
+        from ssrl_vit_mae_jepa_tpu.ops.attention import (
+            use_packed,
+            use_stacked_split,
+        )
 
         assert not use_packed(64, 145, 96, 6, jnp.bfloat16, "auto")
+        # the split-input stacked kernel takes over D<128 on TPU; its policy
+        # must never claim shapes use_packed accepts (production dims)
+        assert not use_stacked_split(64, 145, 144, 6, jnp.bfloat16, "auto")
+        assert not use_stacked_split(64, 145, 96, 6, jnp.bfloat16, "xla")
         # production shapes unaffected (policy only; kernel choice still
         # requires a TPU backend at runtime)
         assert block_impl(384, 37, 144, 6, 576, jnp.bfloat16, "auto") in (None, "split")
+        # no legal (G*L)%8==0 image group (e.g. B=100, L=145) → never split
+        assert block_impl(100, 145, 144, 6, 576, jnp.bfloat16, "auto") is None
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            block_impl(100, 145, 144, 6, 576, jnp.bfloat16, "split")
 
     def test_whole_mae_backward_forced_block(self, rng=jax.random.PRNGKey(2)):
         """Gradients of the full MAE loss: forced-fused-block ≡ XLA path."""

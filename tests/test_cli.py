@@ -188,6 +188,35 @@ class TestEndToEnd:
         )
         assert "Training complete" in stdout
 
+    def test_orbax_backend_via_config(self, cli_env):
+        """`logging.ckpt_backend: orbax` routes CLI checkpoints through orbax.
+
+        Checkpoints become orbax directories (meta.json + state/) instead of
+        zip files, and `--resume_from` restores from them (the trainer
+        detects the format, `trainer.py:_resume`).
+        """
+        import yaml as _yaml
+
+        cfg = _yaml.safe_load(cli_env["cfg_path"].read_text())
+        cfg["logging"]["ckpt_backend"] = "orbax"
+        orb_cfg_path = cli_env["root"] / "tiny_orbax.yaml"
+        orb_cfg_path.write_text(_yaml.safe_dump(cfg))
+        stdout = run_cli(
+            "scripts.training.pretrain_mae",
+            "--config", str(orb_cfg_path), "--output_dir_suffix", "mae_orb",
+            env_extra=cli_env["env"],
+        )
+        assert "Pretraining complete" in stdout
+        last = cli_env["outputs"] / "pretrain/mae_orb/checkpoints/last.ckpt"
+        assert last.is_dir() and (last / "meta.json").exists()
+        stdout = run_cli(
+            "scripts.training.pretrain_mae",
+            "--config", str(orb_cfg_path), "--output_dir_suffix", "mae_orb",
+            "--resume_from", str(last),
+            env_extra=cli_env["env"],
+        )
+        assert "Resumed" in stdout
+
     def test_baseline_random_init(self, cli_env):
         stdout = run_cli(
             "scripts.training.train_mae",
