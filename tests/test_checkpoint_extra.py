@@ -1,7 +1,6 @@
 """Orbax backend + checkpoint policy tests."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from ssrl_vit_mae_jepa_tpu.config import DEFAULTS, _deep_merge
+from ssrl_vit_mae_jepa_tpu.config import _deep_merge
 from ssrl_vit_mae_jepa_tpu.data.pipeline import HostLoader
 from ssrl_vit_mae_jepa_tpu.data.stl10 import STL10
 from ssrl_vit_mae_jepa_tpu.models.jepa import jepa_from_config
