@@ -189,15 +189,22 @@ def _specs(G, L, D):
     return pl.BlockSpec((G, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
-def _group(B: int, env_var: str = "SSRL_ATTN_GROUP") -> int:
+def _group(B: int, D: int = 128, env_var: str = "SSRL_ATTN_GROUP") -> int:
     """Images per grid step (amortizes per-grid-step overhead).
 
     Measured on v5e at B=384 (full MAE step): G=1 20.5 ms, G=2 19.1 ms,
     G=4 19.1 ms; G=8 blows up Mosaic compile time (unrolled body). Default
     4, overridable via ``SSRL_ATTN_GROUP`` for ablation.
+
+    Sub-lane-tile dims (D < 128) are pinned to G=1: multi-image grid steps
+    at e.g. (L=145, D=96, d=16) HARD-FAULT the v5e worker at large batch
+    (measured: B=2000/G=4 crashes, B<=768/G=4 and B=2000/G=1 run clean) —
+    G=1 is the round-1 configuration hardware-proven at B=2048.
     """
     import os
 
+    if D < 128:
+        return 1
     override = os.environ.get(env_var)
     if override:
         return int(override)
@@ -211,7 +218,7 @@ def _fwd(q, k, v, H):
     B, L, D = q.shape
     d = D // H
     scale = 1.0 / (d**0.5)
-    G = _group(B)
+    G = _group(B, D)
     spec = _specs(G, L, D)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, H=H, d=d, L=L, scale=scale, G=G),
@@ -233,7 +240,7 @@ def _bwd(H, res, g):
     B, L, D = q.shape
     d = D // H
     scale = 1.0 / (d**0.5)
-    G = _group(B)
+    G = _group(B, D)
     spec = _specs(G, L, D)
     shape = jax.ShapeDtypeStruct((B, L, D), q.dtype)
     dq, dk, dv = pl.pallas_call(
@@ -272,7 +279,7 @@ def _fwd_qkv(qkv, H):
     D = D3 // 3
     d = D // H
     scale = 1.0 / (d**0.5)
-    G = _group(B)
+    G = _group(B, D)
     out = pl.pallas_call(
         functools.partial(_fwd_qkv_kernel, H=H, d=d, L=L, scale=scale, G=G),
         grid=(B // G,),
@@ -293,7 +300,7 @@ def _bwd_qkv(H, qkv, g):
     D = D3 // 3
     d = D // H
     scale = 1.0 / (d**0.5)
-    G = _group(B)
+    G = _group(B, D)
     dqkv = pl.pallas_call(
         functools.partial(_bwd_qkv_kernel, H=H, d=d, L=L, scale=scale, G=G),
         grid=(B // G,),

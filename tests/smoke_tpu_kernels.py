@@ -36,13 +36,16 @@ def main():
 
     rng = np.random.default_rng(0)
     ok = True
-    # (L, D, H): MAE encoder, MAE decoder/classifier, JEPA target encoder,
-    # JEPA context encoder, JEPA predictor (sub-lane-tile: split-stacked path)
-    cases = [(37, 144, 6), (145, 192, 6), (145, 144, 6), (45, 144, 6),
-             (145, 96, 6)]
-    for L, D, H in cases:
-        x = jnp.asarray(rng.standard_normal((64, L, D)), jnp.bfloat16)
-        g = jnp.asarray(rng.standard_normal((64, L, D)), jnp.float32)
+    # (B, L, D, H): MAE encoder, MAE decoder/classifier, JEPA target encoder,
+    # JEPA context encoder, JEPA predictor (sub-lane-tile: split-stacked
+    # path). The predictor runs at BOTH small and reference batch — the
+    # D<128 fault class is batch-dependent (B=2000/G=4 crashed where
+    # B<=768 ran clean), so a small-batch pass is NOT sufficient evidence.
+    cases = [(64, 37, 144, 6), (64, 145, 192, 6), (64, 145, 144, 6),
+             (64, 45, 144, 6), (64, 145, 96, 6), (2000, 145, 96, 6)]
+    for B, L, D, H in cases:
+        x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.bfloat16)
+        g = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
         auto = Block(D, H, dtype=jnp.bfloat16, attn_impl="auto")
         ref = Block(D, H, dtype=jnp.bfloat16, attn_impl="xla")
         params = jax.jit(ref.init)(jax.random.key(0), x)
@@ -63,7 +66,7 @@ def main():
         )
         good = rel < 2e-2 and gerr < 2e-2  # bf16 accumulation-order noise
         ok &= good
-        print(f"Block L={L:3d} D={D:3d} H={H}  loss-rel {rel:.2e}  "
+        print(f"Block B={B:4d} L={L:3d} D={D:3d} H={H}  loss-rel {rel:.2e}  "
               f"worst-grad-rel {gerr:.2e}  {'OK' if good else 'MISMATCH'}")
     print("SMOKE", "PASS" if ok else "FAIL")
     return 0 if ok else 1

@@ -22,8 +22,15 @@ def _rand(shape, seed, dtype=jnp.float32):
     return jax.random.normal(jax.random.PRNGKey(seed), shape, dtype)
 
 
-# (B, L, D, H): both production geometries + an odd small shape (G=1 path)
-PROD_SHAPES = [(4, 37, 144, 6), (2, 145, 192, 6), (3, 17, 48, 4)]
+# (B, L, D, H): MAE encoder/decoder geometries, an odd small shape (G=1
+# path), and the JEPA target/context encoder shapes (L=145/45 at D=144)
+PROD_SHAPES = [
+    (4, 37, 144, 6),
+    (2, 145, 192, 6),
+    (3, 17, 48, 4),
+    (2, 145, 144, 6),
+    (2, 45, 144, 6),
+]
 
 
 class TestFusedBlock:
