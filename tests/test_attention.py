@@ -128,7 +128,11 @@ class TestStackedKernel:
     tests/smoke_tpu.py and training convergence in docs/RESULTS.md).
     """
 
-    PROD_SHAPES = [(2, 37, 6, 24), (2, 145, 6, 32), (3, 17, 2, 8)]
+    # includes the JEPA-predictor sub-lane-tile shape (L=145, H=6, d=16):
+    # auto routes it through mha_stacked's split-q/k/v entry
+    # (ops.attention.use_stacked_split) with G pinned to 1
+    PROD_SHAPES = [(2, 37, 6, 24), (2, 145, 6, 32), (3, 17, 2, 8),
+                   (2, 145, 6, 16)]
 
     @pytest.mark.parametrize("B,L,H,d", PROD_SHAPES)
     @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
