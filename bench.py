@@ -36,6 +36,11 @@ def main():
         "--profile-dir", type=str, default=None,
         help="capture a jax.profiler trace of the timed steps into this dir",
     )
+    parser.add_argument(
+        "--tiny", action="store_true",
+        help="shrink the model for smoke testing (CI import/arg regression "
+        "checks on slow hosts) — NOT a performance configuration",
+    )
     args = parser.parse_args()
 
     import jax
@@ -48,6 +53,18 @@ def main():
 
     B = args.batch_size
     mesh = get_mesh()
+    model_cfg = DEFAULTS["model"]
+    jepa_base = DEFAULTS["jepa"]
+    if args.tiny:
+        model_cfg = {
+            "general": {"image_size": 96, "patch_size": 8, "in_chans": 3},
+            "encoder": {"embed_dim": 32, "depth": 2, "num_heads": 4},
+            "decoder": {"decoder_embed_dim": 32, "decoder_depth": 1,
+                        "decoder_num_heads": 4},
+            "head": {"pool": "cls"},
+        }
+        jepa_base = {**jepa_base, "predictor_embed_dim": 32,
+                     "predictor_depth": 1, "predictor_num_heads": 4}
     pre_cfg = {
         "mask_ratio_start": 0.75, "mask_ratio_end": 0.75, "mask_ramp_epochs": 5,
         "total_epochs": 800, "warmup_epochs": 20, "batch_size": B,
@@ -55,14 +72,14 @@ def main():
         "augment": args.augment,
     }
     if args.task == "mae":
-        task = MAETask(DEFAULTS["model"], pre_cfg, attn_impl=args.attn_impl)
+        task = MAETask(model_cfg, pre_cfg, attn_impl=args.attn_impl)
     elif args.task == "jepa":
-        jepa_cfg = {**DEFAULTS["jepa"], "batch_size": B, "augment": args.augment}
-        task = JEPATask(DEFAULTS["model"], jepa_cfg, attn_impl=args.attn_impl)
+        jepa_cfg = {**jepa_base, "batch_size": B, "augment": args.augment}
+        task = JEPATask(model_cfg, jepa_cfg, attn_impl=args.attn_impl)
     else:
         train_cfg = {**DEFAULTS["train"], "batch_size": B, "freeze_encoder": False}
         task = ClassifierTask(
-            DEFAULTS["model"], train_cfg, attn_impl=args.attn_impl,
+            model_cfg, train_cfg, attn_impl=args.attn_impl,
             augment=args.augment,
         )
     trainer = Trainer(

@@ -100,8 +100,13 @@ def use_stacked_split(B: int, L: int, D: int, num_heads: int, dtype, impl: str) 
     """
     if impl not in ("auto",):
         return False
-    if D >= 128 and (D // num_heads) >= 24:
-        return False  # use_packed handles these
+    if D >= 128:
+        # use_packed handles D>=128 with head dim >= 24; D>=128 with a
+        # SMALLER head dim (e.g. D=128/H=8) is claimed by neither policy and
+        # falls back to XLA — the documented fault class is batch/G-dependent
+        # and only D<128 shapes are hardware-validated on this kernel
+        # (G is pinned to 1 for D<128 in attention_pallas_stacked._group)
+        return False
     try:
         ok = _stacked_supported(B, num_heads, L, D, str(dtype))
     except Exception:

@@ -61,7 +61,7 @@ _INV_SQRT_2PI = 0.3989422804014327
 
 
 def supported(B: int, H: int, L: int, D: int, F: int, dtype_name: str) -> bool:
-    """Shape/VMEM guard for the fused block kernel."""
+    """Shape/VMEM guard for the MONO fused-block kernel (per-image layout)."""
     if dtype_name not in ("bfloat16", "float32"):
         return False
     if D % H or L > 1024 or H * L > 4096:
@@ -77,10 +77,46 @@ def supported(B: int, H: int, L: int, D: int, F: int, dtype_name: str) -> bool:
     return itm + weights + grads + blocks < 10 * 1024 * 1024
 
 
+def split_supported(B: int, H: int, L: int, D: int, F: int, dtype_name: str) -> bool:
+    """Shape/VMEM guard for the flat SPLIT-branch kernels.
+
+    The flat kernels process a (G·L, D) row group per grid step with G from
+    ``_flat_group`` (up to 24 for odd L) — their live set scales with G, so
+    the mono ``supported()`` bound (G ≤ 2) would understate it several-fold.
+    Bound here: the larger branch's fp32 live set at the actual G, compared
+    against the 32 MB ``vmem_limit_bytes`` the kernels compile with (the
+    measured scoped allocation at the production (G·L=1160, F=768) shape is
+    17.05 MB; this formula gives 24.9 MB — conservatively high).
+    """
+    if dtype_name not in ("bfloat16", "float32"):
+        return False
+    if D % H or L > 1024 or H * L > 4096:
+        return False
+    G = _flat_group(B, L)
+    if G is None:
+        return False
+    Lp = -(-L // 128) * 128
+    rows = G * L
+    # attention branch bwd: x/gy/a/y1/dx (≈5·D) + qkv/dqkv (6·D) per row,
+    # plus the per-image stacked-attention intermediates; mlp branch bwd:
+    # ≈5·D + 4·F per row. All fp32-equivalent (worst case).
+    attn_rows = rows * 11 * D + 4 * H * L * max(Lp, D)
+    mlp_rows = rows * (5 * D + 4 * F)
+    itm = 4 * max(attn_rows, mlp_rows)
+    weights = 2 * (3 * D * D + D * D + 2 * D * F)
+    grads = 2 * weights
+    return itm + weights + grads < 30 * 1024 * 1024
+
+
 def _group(B: int, env_var: str = "SSRL_BLOCK_GROUP") -> int:
     override = os.environ.get(env_var)
     if override:
-        return int(override)
+        g = int(override)
+        # invalid override (non-dividing G would silently drop the batch
+        # tail via grid=B//G): ignore and fall back to the auto choice —
+        # consistent with _flat_group's handling
+        if g > 0 and B % g == 0:
+            return g
     for g in (2,):
         if B % g == 0:
             return g
@@ -93,11 +129,13 @@ def _flat_group(B: int, L: int) -> int | None:
     Mosaic requires the block's sublane dim (G·L) divisible by 8 (or equal to
     the full array), so odd L forces G ∈ {8, 16, …}. Falls back to the whole
     batch in one grid step for small problems, else None (unsupported).
+    Invalid ``SSRL_BLOCK_GROUP`` overrides are ignored (auto choice), same
+    as ``_group``.
     """
     override = os.environ.get("SSRL_BLOCK_GROUP")
     if override:
         g = int(override)
-        if B % g == 0 and (g * L) % 8 == 0:
+        if g > 0 and B % g == 0 and (g * L) % 8 == 0:
             return g
     for g in (8, 16, 24, 4, 2, 1):
         if B % g == 0 and (g * L) % 8 == 0 and g != B:
@@ -333,6 +371,7 @@ def _fb_fwd_impl(x, params, H):
     F = params[8].shape[-1]
     scale = 1.0 / (d**0.5)
     G = _group(B)
+    assert B % G == 0, (B, G)
     kp = _prep(params, x.dtype)
     xspec = pl.BlockSpec((G, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -685,6 +724,11 @@ def _supported_cached(B, H, L, D, F, dtype_name):
     return supported(B, H, L, D, F, dtype_name)
 
 
+@functools.lru_cache(maxsize=None)
+def _split_supported_cached(B, H, L, D, F, dtype_name):
+    return split_supported(B, H, L, D, F, dtype_name)
+
+
 def block_impl(B: int, L: int, D: int, H: int, F: int, dtype, impl: str):
     """Kernel policy for a transformer block.
 
@@ -702,10 +746,11 @@ def block_impl(B: int, L: int, D: int, H: int, F: int, dtype, impl: str):
         ok = _supported_cached(B, H, L, D, F, str(dtype))
     except Exception:
         return None
-    # the flat split kernels additionally need a legal image group:
-    # (G·L) % 8 == 0 with G | B (Mosaic sublane constraint) — e.g. B=100
-    # at L=145 has none and must take the mono/sub-layer path
-    splittable = _flat_group(B, L) is not None
+    # the flat split kernels additionally need a legal image group —
+    # (G·L) % 8 == 0 with G | B (Mosaic sublane constraint), e.g. B=100
+    # at L=145 has none — and a VMEM bound at the group they actually run
+    # with (split_supported), which can be several× the mono live set
+    splittable = _split_supported_cached(B, H, L, D, F, str(dtype))
     if impl in ("block", "split"):
         if not ok or (impl == "split" and not splittable):
             raise ValueError(

@@ -120,14 +120,78 @@ class JEPATask(Task):
             method=self.model.target_representations,
         )
         target = jax.lax.stop_gradient(target)
-        per_ex = jnp.mean(
-            (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2,
-            axis=(1, 2),
-        )
+        predf = pred.astype(jnp.float32)
+        targf = target.astype(jnp.float32)
+        per_ex = jnp.mean((predf - targf) ** 2, axis=(1, 2))
         w = batch["weight"]
         loss_sum, weight_sum = _weighted(per_ex, w)
         loss = loss_sum / jnp.maximum(weight_sum, 1.0)
-        return loss, {"loss_sum": loss_sum, "weight_sum": weight_sum}
+        sums = {"loss_sum": loss_sum, "weight_sum": weight_sum}
+        sums.update(self._collapse_sums(predf, targf, w, weight_sum))
+        return loss, sums
+
+    @staticmethod
+    def _collapse_sums(predf, targf, w, weight_sum):
+        """Per-batch collapse diagnostics, accumulated as weighted sums.
+
+        A joint-embedding method can drive latent MSE down by collapsing both
+        towers to a constant — a near-flat loss curve is indistinguishable
+        from learning without these. Logged per epoch via
+        ``epoch_metrics_from_sums``:
+
+        - ``pred_std`` / ``target_std``: mean-over-dims std of the
+          (B·M, D) predictor outputs / EMA-target representations across the
+          batch (→ 0 under collapse; stays O(1) when representations vary),
+        - ``pred_target_cos``: mean row-wise cosine(pred, target) — high
+          cosine WITH near-zero std is the collapse signature; high cosine
+          with healthy std is genuine prediction.
+        """
+
+        def _wstd(x, row_w):
+            # weighted std over rows per dim, averaged over dims
+            tot = jnp.maximum(jnp.sum(row_w), 1e-9)
+            mu = jnp.sum(x * row_w[:, None], axis=0) / tot
+            var = jnp.sum((x - mu) ** 2 * row_w[:, None], axis=0) / tot
+            return jnp.mean(jnp.sqrt(jnp.maximum(var, 0.0)))
+
+        Bc, M, D = predf.shape
+        rows_w = jnp.repeat(w, M)
+        p2 = predf.reshape(Bc * M, D)
+        t2 = targf.reshape(Bc * M, D)
+        pred_std = _wstd(p2, rows_w)
+        targ_std = _wstd(t2, rows_w)
+        dot = jnp.sum(p2 * t2, axis=-1)
+        norm = jnp.linalg.norm(p2, axis=-1) * jnp.linalg.norm(t2, axis=-1)
+        cos = jnp.sum((dot / jnp.maximum(norm, 1e-9)) * rows_w) / jnp.maximum(
+            jnp.sum(rows_w), 1e-9
+        )
+        return {
+            "pred_std_sum": pred_std * weight_sum,
+            "target_std_sum": targ_std * weight_sum,
+            "cos_sum": cos * weight_sum,
+        }
+
+    def loss_and_metric_sums_in_step(self, params, state, images, batch, rng, ctx):
+        loss, sums = self.loss_and_metric_sums(
+            params, images, batch, rng, ctx, extra=state.extra
+        )
+        # EMA drift: relative L2 distance between the context encoder and its
+        # EMA target. ≈0 with a flat loss means the target tracks the online
+        # encoder so closely the prediction task is trivial (or training has
+        # stalled); it should stay small but nonzero while learning.
+        diff_sq = sum(
+            jnp.sum((p.astype(jnp.float32) - t.astype(jnp.float32)) ** 2)
+            for p, t in zip(
+                jax.tree.leaves(params["encoder"]), jax.tree.leaves(state.extra)
+            )
+        )
+        ref_sq = sum(
+            jnp.sum(t.astype(jnp.float32) ** 2)
+            for t in jax.tree.leaves(state.extra)
+        )
+        drift = jnp.sqrt(diff_sq / jnp.maximum(ref_sq, 1e-12))
+        sums["ema_drift_sum"] = jax.lax.stop_gradient(drift) * sums["weight_sum"]
+        return loss, sums
 
     def on_fit_start(self, steps_per_epoch: int) -> None:
         self.steps_per_epoch = steps_per_epoch
@@ -168,4 +232,13 @@ class JEPATask(Task):
     @staticmethod
     def epoch_metrics_from_sums(sums: Dict[str, float], prefix: str) -> Dict[str, float]:
         w = max(sums.get("weight_sum", 0.0), 1e-9)
-        return {f"{prefix}_loss": sums.get("loss_sum", 0.0) / w}
+        out = {f"{prefix}_loss": sums.get("loss_sum", 0.0) / w}
+        for key, name in (
+            ("pred_std_sum", "pred_std"),
+            ("target_std_sum", "target_std"),
+            ("cos_sum", "pred_target_cos"),
+            ("ema_drift_sum", "ema_drift"),
+        ):
+            if key in sums:
+                out[f"{prefix}_{name}"] = sums[key] / w
+        return out

@@ -18,9 +18,12 @@ def test_bench_runs_and_prints_json(task):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
+    # --tiny: the flagship JEPA step (3 sub-models) compiles for >15 min on
+    # this 1-core CPU host (measured round 3) — the smoke only guards the
+    # import/arg/pipeline surface, so a small model is the right scale
     proc = subprocess.run(
         [sys.executable, "bench.py", "--task", task, "--batch-size", "16",
-         "--steps", "2", "--warmup", "1"],
+         "--steps", "2", "--warmup", "1", "--tiny"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]

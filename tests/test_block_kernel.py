@@ -54,12 +54,13 @@ class TestFusedBlock:
                 np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(path)
             )
 
+    @pytest.mark.parametrize("impl", ["block", "split"])
     @pytest.mark.parametrize("B,L,D,H", PROD_SHAPES)
     @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-    def test_forward(self, B, L, D, H, dtype):
+    def test_forward(self, B, L, D, H, dtype, impl):
         x = _rand((B, L, D), 0, dtype)
         ref = Block(D, H, dtype=dtype, attn_impl="xla")
-        fused = Block(D, H, dtype=dtype, attn_impl="block")
+        fused = Block(D, H, dtype=dtype, attn_impl=impl)
         params = ref.init(jax.random.PRNGKey(1), x)
         out_ref = ref.apply(params, x)
         with pltpu.force_tpu_interpret_mode():
@@ -69,14 +70,18 @@ class TestFusedBlock:
             np.asarray(out, np.float32), np.asarray(out_ref, np.float32), atol=atol
         )
 
+    @pytest.mark.parametrize("impl", ["block", "split"])
     @pytest.mark.parametrize("B,L,D,H", PROD_SHAPES)
     @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-    def test_backward_params_and_input(self, B, L, D, H, dtype):
-        """Every weight gradient + the input gradient match the flax path."""
+    def test_backward_params_and_input(self, B, L, D, H, dtype, impl):
+        """Every weight gradient + the input gradient match the flax path,
+        for BOTH fused forms: 'block' (mono, ablation) and 'split' (the
+        production attn-branch + mlp-branch kernels with their fp32 grid
+        accumulators)."""
         x = _rand((B, L, D), 0, dtype)
         g = _rand((B, L, D), 7, dtype)
         ref = Block(D, H, dtype=dtype, attn_impl="xla")
-        fused = Block(D, H, dtype=dtype, attn_impl="block")
+        fused = Block(D, H, dtype=dtype, attn_impl=impl)
         params = ref.init(jax.random.PRNGKey(1), x)
 
         def loss(mod):
@@ -129,6 +134,35 @@ class TestFusedBlock:
         assert not supported(4, 6, 145, 192, 768, "float16")    # dtype
         assert not supported(64, 8, 512, 1024, 4096, "float32")  # VMEM
 
+    def test_split_supported_scales_vmem_with_flat_group(self):
+        """The split guard sizes the live set with _flat_group's G (up to 24),
+        not the mono G<=2 — an understated bound was ADVICE r2 finding #2."""
+        from ssrl_vit_mae_jepa_tpu.ops.block_pallas import split_supported
+
+        # production shapes at production batch pass
+        assert split_supported(768, 6, 37, 144, 576, "bfloat16")
+        assert split_supported(768, 6, 145, 192, 768, "bfloat16")
+        assert split_supported(2048, 6, 145, 192, 768, "bfloat16")
+        # no legal flat image group
+        assert not split_supported(100, 6, 145, 144, 576, "bfloat16")
+        # a shape whose flat live set (G=8 rows) blows the 32MB budget
+        assert not split_supported(512, 8, 513, 1024, 4096, "bfloat16")
+
+    def test_group_override_validation(self, monkeypatch):
+        """Invalid SSRL_BLOCK_GROUP overrides fall back to the auto choice in
+        BOTH helpers (a non-dividing G would silently drop the batch tail)."""
+        from ssrl_vit_mae_jepa_tpu.ops import block_pallas as bp
+
+        monkeypatch.setenv("SSRL_BLOCK_GROUP", "7")
+        assert bp._group(768) == 2          # 768 % 7 != 0 → auto
+        assert bp._flat_group(768, 145) == 8  # (7*145) % 8 != 0 → auto
+        monkeypatch.setenv("SSRL_BLOCK_GROUP", "8")
+        assert bp._group(768) == 8
+        assert bp._flat_group(768, 145) == 8
+        monkeypatch.setenv("SSRL_BLOCK_GROUP", "3")
+        assert bp._group(768) == 3
+        assert bp._flat_group(768, 145) == 8  # (3*145) % 8 != 0 → auto
+
     def test_auto_policy_excludes_sublane_dims(self):
         """auto never fuses D<128 or head-dim<24 (TPU kernel fault shapes).
 
@@ -154,6 +188,12 @@ class TestFusedBlock:
         # must never claim shapes use_packed accepts (production dims)
         assert not use_stacked_split(64, 145, 144, 6, jnp.bfloat16, "auto")
         assert not use_stacked_split(64, 145, 96, 6, jnp.bfloat16, "xla")
+        # D>=128 with head dim < 24 (e.g. D=128/H=8) is claimed by NEITHER
+        # stacked policy — those shapes run multi-image G from _group, a
+        # configuration outside the hardware-validated envelope for the
+        # fault class, so they must fall back to XLA
+        assert not use_packed(64, 145, 128, 8, jnp.bfloat16, "auto")
+        assert not use_stacked_split(64, 145, 128, 8, jnp.bfloat16, "auto")
         # production shapes unaffected (policy only; kernel choice still
         # requires a TPU backend at runtime)
         assert block_impl(384, 37, 144, 6, 576, jnp.bfloat16, "auto") in (None, "split")
@@ -164,11 +204,13 @@ class TestFusedBlock:
         with _pytest.raises(ValueError):
             block_impl(100, 145, 144, 6, 576, jnp.bfloat16, "split")
 
-    def test_whole_mae_backward_forced_block(self, rng=jax.random.PRNGKey(2)):
+    @pytest.mark.parametrize("impl", ["block", "split"])
+    def test_whole_mae_backward_forced_block(self, impl):
         """Gradients of the full MAE loss: forced-fused-block ≡ XLA path."""
         from ssrl_vit_mae_jepa_tpu.models.mae import MaskedAutoencoder
         from ssrl_vit_mae_jepa_tpu.ops.masking import random_token_mask
 
+        rng = jax.random.PRNGKey(2)
         kw = dict(image_size=32, patch_size=8, embed_dim=48, depth=2,
                   num_heads=4, decoder_embed_dim=24, decoder_depth=1,
                   decoder_num_heads=2, dtype=jnp.float32)
@@ -182,7 +224,7 @@ class TestFusedBlock:
         mae_x = MaskedAutoencoder(attn_impl="xla", **kw)
         params = mae_x.init(rng, images, idx_keep, idx_mask)
         ref_grads = jax.grad(loss)(params, mae_x)
-        mae_b = MaskedAutoencoder(attn_impl="block", **kw)
+        mae_b = MaskedAutoencoder(attn_impl=impl, **kw)
         with pltpu.force_tpu_interpret_mode():
             blk_grads = jax.grad(loss)(params, mae_b)
 

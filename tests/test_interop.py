@@ -38,10 +38,10 @@ MODEL_CFG = {
 }
 
 
-def make_timm_state(rng, prefix=""):
+def make_timm_state(rng, prefix="", img=IMG):
     """Synthetic timm-ViT-named state dict (torch layouts)."""
     r = np.random.default_rng(rng)
-    n_tok = (IMG // P) ** 2 + 1
+    n_tok = (img // P) ** 2 + 1
     s = {
         "cls_token": r.normal(0, 0.02, (1, 1, D)),
         "pos_embed": r.normal(0, 0.02, (1, n_tok, D)),
@@ -69,14 +69,15 @@ def make_timm_state(rng, prefix=""):
     return {prefix + k: v.astype(np.float32) for k, v in s.items()}
 
 
-def make_decoder_state(rng, dd=40, prefix="decoder."):
+def make_decoder_state(rng, dd=40, prefix="decoder.", img=IMG):
     """Synthetic lightly-MAEDecoderTIMM-named state dict (torch layouts)."""
     r = np.random.default_rng(rng)
+    n_tok = (img // P) ** 2 + 1
     s = {
         "decoder_embed.weight": r.normal(0, 0.05, (dd, D)),
         "decoder_embed.bias": np.zeros(dd),
         "mask_token": r.normal(0, 0.02, (1, 1, dd)),
-        "decoder_pos_embed": r.normal(0, 0.02, (1, 17, dd)),
+        "decoder_pos_embed": r.normal(0, 0.02, (1, n_tok, dd)),
         "decoder_norm.weight": np.ones(dd),
         "decoder_norm.bias": np.zeros(dd),
         "decoder_pred.weight": r.normal(0, 0.05, (P * P * 3, dd)),
@@ -97,12 +98,13 @@ def make_decoder_state(rng, dd=40, prefix="decoder."):
     return {prefix + k: v.astype(np.float32) for k, v in s.items()}
 
 
-def make_mae_state(rng):
+def make_mae_state(rng, img=IMG):
     """Reference-named full MAE state dict: encoder.vit.* + encoder.mask_token
     + decoder.* (the torch.save(model.state_dict()) layout)."""
-    enc = {"encoder.vit." + k: v for k, v in make_timm_state(rng + 1).items()}
+    enc = {"encoder.vit." + k: v
+           for k, v in make_timm_state(rng + 1, img=img).items()}
     enc["encoder.mask_token"] = np.zeros((1, 1, D), np.float32)
-    return {**enc, **make_decoder_state(rng)}
+    return {**enc, **make_decoder_state(rng, img=img)}
 
 
 def torch_vit_forward_features(state, x_nchw):
@@ -139,6 +141,79 @@ def torch_vit_forward_features(state, x_nchw):
     return x.numpy()
 
 
+def _torch_ln(v, w, b):
+    import torch as _t
+
+    return _t.nn.functional.layer_norm(v, (v.shape[-1],), w, b, eps=1e-6)
+
+
+def _torch_block(t, p, x, heads):
+    """One pre-LN timm block from raw state-dict tensors at prefix ``p``."""
+    B, L, D = x.shape
+    hd = D // heads
+    y = _torch_ln(x, t[p + "norm1.weight"], t[p + "norm1.bias"])
+    qkv = y @ t[p + "attn.qkv.weight"].T + t[p + "attn.qkv.bias"]
+    qkv = qkv.reshape(B, L, 3, heads, hd).permute(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    att = torch.softmax(q @ k.transpose(-2, -1) / hd**0.5, dim=-1)
+    o = (att @ v).transpose(1, 2).reshape(B, L, D)
+    x = x + o @ t[p + "attn.proj.weight"].T + t[p + "attn.proj.bias"]
+    y = _torch_ln(x, t[p + "norm2.weight"], t[p + "norm2.bias"])
+    h = torch.nn.functional.gelu(y @ t[p + "mlp.fc1.weight"].T + t[p + "mlp.fc1.bias"])
+    return x + h @ t[p + "mlp.fc2.weight"].T + t[p + "mlp.fc2.bias"]
+
+
+def torch_mae_forward(state, x_nchw, idx_keep, idx_mask, *, depth=DEPTH,
+                      heads=HEADS, dec_depth=1, dec_heads=4, patch=P):
+    """Independent torch implementation of the FULL reference MAE forward
+    (reference ``src/models/mae.py:77-94``): lightly masked encode →
+    MAEDecoderTIMM embed → mask-token scatter at idx_keep → pos-embed →
+    decoder blocks → norm → gather idx_mask → pixel head; pixel targets
+    from CHW-within-patch patchify at ``clamp(idx_mask − 1, 0)`` (quirk Q7).
+    Returns (pred, target) as numpy. Built straight from a reference-named
+    state dict — no code shared with the flax model under test."""
+    t = {k: torch.from_numpy(np.asarray(v, np.float32)) for k, v in state.items()}
+    x = torch.from_numpy(x_nchw)
+    ik = torch.from_numpy(np.array(idx_keep)).long()
+    im = torch.from_numpy(np.array(idx_mask)).long()
+    B = x.shape[0]
+
+    e = "encoder.vit."
+    tok = torch.nn.functional.conv2d(
+        x, t[e + "patch_embed.proj.weight"], t[e + "patch_embed.proj.bias"],
+        stride=patch,
+    ).flatten(2).transpose(1, 2)
+    tok = torch.cat([t[e + "cls_token"].expand(B, -1, -1), tok], dim=1)
+    tok = tok + t[e + "pos_embed"]
+    # lightly masked encode: pos-embed FIRST, then gather only kept tokens
+    tok = torch.gather(tok, 1, ik.unsqueeze(-1).expand(-1, -1, tok.shape[-1]))
+    for i in range(depth):
+        tok = _torch_block(t, f"{e}blocks.{i}.", tok, heads)
+    enc = _torch_ln(tok, t[e + "norm.weight"], t[e + "norm.bias"])
+
+    d = "decoder."
+    dd = t[d + "mask_token"].shape[-1]
+    xd = enc @ t[d + "decoder_embed.weight"].T + t[d + "decoder_embed.bias"]
+    L = t[d + "decoder_pos_embed"].shape[1]
+    full = t[d + "mask_token"].expand(B, L, dd).clone()
+    full.scatter_(1, ik.unsqueeze(-1).expand(-1, -1, dd), xd)
+    full = full + t[d + "decoder_pos_embed"]
+    for i in range(dec_depth):
+        full = _torch_block(t, f"{d}decoder_blocks.{i}.", full, dec_heads)
+    full = _torch_ln(full, t[d + "decoder_norm.weight"], t[d + "decoder_norm.bias"])
+    sel = torch.gather(full, 1, im.unsqueeze(-1).expand(-1, -1, dd))
+    pred = sel @ t[d + "decoder_pred.weight"].T + t[d + "decoder_pred.bias"]
+
+    gh = x.shape[-1] // patch
+    patches = x.reshape(B, 3, gh, patch, gh, patch).permute(
+        0, 2, 4, 1, 3, 5).reshape(B, gh * gh, patch * patch * 3)
+    tgt = torch.gather(
+        patches, 1,
+        (im - 1).clamp(min=0).unsqueeze(-1).expand(-1, -1, patches.shape[-1]),
+    )
+    return pred.numpy(), tgt.numpy()
+
+
 class TestConverter:
     def test_forward_parity_with_torch_golden(self):
         state = make_timm_state(0)
@@ -149,6 +224,32 @@ class TestConverter:
         golden = torch_vit_forward_features(state, x)
         ours = vit.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
         np.testing.assert_allclose(np.asarray(ours), golden, atol=2e-4)
+
+    def test_mae_decoder_parity_with_torch_golden(self):
+        """Full (pred, target) MAE pipeline — converted reference-named
+        weights through OUR flax model vs the independent torch golden. This
+        is the decoder-numerics link the round-2 parity chain lacked
+        (encoder/classifier were golden-tested; the decoder was only
+        round-tripped on names/shapes)."""
+        state = make_mae_state(21)
+        params, report = ti.mae_state_to_params(state, DEPTH, 1)
+        assert not report["missing"], report["missing"]
+        mae = mae_from_config(MODEL_CFG, dtype=jnp.float32, attn_impl="xla")
+        from ssrl_vit_mae_jepa_tpu.ops.masking import random_token_mask
+
+        idx_keep, idx_mask = random_token_mask(jax.random.PRNGKey(5), 3, 17, 12)
+        x = np.random.default_rng(22).normal(0, 1, (3, 3, IMG, IMG)).astype(
+            np.float32)
+        pred, target = mae.apply(
+            {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+            idx_keep, idx_mask,
+        )
+        g_pred, g_target = torch_mae_forward(
+            state, x, np.asarray(idx_keep), np.asarray(idx_mask)
+        )
+        # targets are pure relayout+gather: bitwise
+        np.testing.assert_array_equal(np.asarray(target), g_target)
+        np.testing.assert_allclose(np.asarray(pred), g_pred, atol=5e-4)
 
     def test_vit_prefix_accepted(self):
         state = make_timm_state(0, prefix="vit.")
