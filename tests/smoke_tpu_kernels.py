@@ -38,11 +38,15 @@ def main():
     ok = True
     # (B, L, D, H): MAE encoder, MAE decoder/classifier, JEPA target encoder,
     # JEPA context encoder, JEPA predictor (sub-lane-tile: split-stacked
-    # path). The predictor runs at BOTH small and reference batch — the
-    # D<128 fault class is batch-dependent (B=2000/G=4 crashed where
-    # B<=768 ran clean), so a small-batch pass is NOT sufficient evidence.
+    # path). The predictor AND the JEPA target encoder run at BOTH small and
+    # reference batch — the D<128 fault class is batch-dependent (B=2000/G=4
+    # crashed where B<=768 ran clean), so a small-batch pass is NOT
+    # sufficient evidence; (2000, 145, 144) covers the grid-250 fused-block
+    # configuration of the round-2 batch-2000 suspect list (bisected clean
+    # in round 3, docs/PERFORMANCE.md).
     cases = [(64, 37, 144, 6), (64, 145, 192, 6), (64, 145, 144, 6),
-             (64, 45, 144, 6), (64, 145, 96, 6), (2000, 145, 96, 6)]
+             (64, 45, 144, 6), (64, 145, 96, 6), (2000, 145, 96, 6),
+             (2000, 145, 144, 6)]
     for B, L, D, H in cases:
         x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.bfloat16)
         g = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
