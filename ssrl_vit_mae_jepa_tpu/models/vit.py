@@ -195,6 +195,25 @@ class Block(nn.Module):
                     x, s1, b1, wqkv, bqkv, wp, bp,
                     s2, b2, w1, b1f, w2, b2f, self.num_heads,
                 )
+            if mode == "split_pad":
+                # sub-lane model dim (e.g. JEPA predictor D=96): zero-pad
+                # features to the 128-lane tile and run the proven D>=128
+                # split kernels — the MXU pads lanes to 128 regardless, so
+                # the extra columns are free; LN statistics use the real D
+                # inside the kernel (d_real) and the pad/slice pair is a
+                # cheap fused copy (ops/block_pallas.py policy docstring)
+                from ssrl_vit_mae_jepa_tpu.ops.block_pallas import (
+                    pad_attn_branch_params,
+                    pad_mlp_branch_params,
+                )
+
+                pad = 128 - D
+                xp = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+                ap = pad_attn_branch_params(s1, b1, wqkv, bqkv, wp, bp, pad)
+                mp = pad_mlp_branch_params(s2, b2, w1, b1f, w2, b2f, pad)
+                xp = fused_attn_branch(xp, *ap, self.num_heads, d_real=D)
+                xp = fused_mlp_branch(xp, *mp, d_real=D)
+                return xp[..., :D]
             x = fused_attn_branch(x, s1, b1, wqkv, bqkv, wp, bp, self.num_heads)
             return fused_mlp_branch(x, s2, b2, w1, b1f, w2, b2f)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)

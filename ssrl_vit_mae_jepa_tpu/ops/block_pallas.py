@@ -77,7 +77,10 @@ def supported(B: int, H: int, L: int, D: int, F: int, dtype_name: str) -> bool:
     return itm + weights + grads + blocks < 10 * 1024 * 1024
 
 
-def split_supported(B: int, H: int, L: int, D: int, F: int, dtype_name: str) -> bool:
+def split_supported(
+    B: int, H: int, L: int, D: int, F: int, dtype_name: str,
+    d_real: int | None = None,
+) -> bool:
     """Shape/VMEM guard for the flat SPLIT-branch kernels.
 
     The flat kernels process a (G·L, D) row group per grid step with G from
@@ -87,10 +90,14 @@ def split_supported(B: int, H: int, L: int, D: int, F: int, dtype_name: str) -> 
     against the 32 MB ``vmem_limit_bytes`` the kernels compile with (the
     measured scoped allocation at the production (G·L=1160, F=768) shape is
     17.05 MB; this formula gives 24.9 MB — conservatively high).
+
+    ``d_real``: for the lane-padded path, heads split the REAL feature
+    count while the VMEM live set scales with the padded D.
     """
     if dtype_name not in ("bfloat16", "float32"):
         return False
-    if D % H or L > 1024 or H * L > 4096:
+    dr = D if d_real is None else d_real
+    if dr % H or L > 1024 or H * L > 4096:
         return False
     G = _flat_group(B, L)
     if G is None:
@@ -145,25 +152,43 @@ def _flat_group(B: int, L: int) -> int | None:
     return None
 
 
-def _ln_fwd(x, s, b):
-    """fp32 LayerNorm. x (L, D) any dtype; s/b (1, D) fp32 → (y_f32, xhat, inv)."""
+def _ln_fwd(x, s, b, n=None):
+    """fp32 LayerNorm. x (L, D) any dtype; s/b (1, D) fp32 → (y_f32, xhat, inv).
+
+    ``n``: real feature count for lane-padded rows (cols ≥ n are exact
+    zeros and s/b are zero there). Statistics then come from raw sums —
+    the zero pad cols contribute nothing — divided by n; the pad cols of
+    xhat are nonzero (−mu·inv) but zero scale/bias keep y zero there.
+    """
     xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    if n is None:
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    else:
+        mu = jnp.sum(xf, axis=-1, keepdims=True) * (1.0 / n)
+        var = jnp.sum(xf * xf, axis=-1, keepdims=True) * (1.0 / n) - mu * mu
+        xc = xf - mu
     inv = jax.lax.rsqrt(var + _EPS)
     xhat = xc * inv
     return xhat * s + b, xhat, inv
 
 
-def _ln_bwd(dy, xhat, inv, s):
-    """dy (L, D) fp32 → (dx fp32, dscale (1, D), dbias (1, D))."""
+def _ln_bwd(dy, xhat, inv, s, n=None):
+    """dy (L, D) fp32 → (dx fp32, dscale (1, D), dbias (1, D)).
+
+    ``n`` as in ``_ln_fwd``: with zero-padded s, g0 = dy·s is zero in the
+    pad cols, so the raw sums see only real features; dx pad cols carry
+    garbage that the caller's slice discards.
+    """
     g0 = dy * s
-    dx = (
-        g0
-        - jnp.mean(g0, axis=-1, keepdims=True)
-        - xhat * jnp.mean(g0 * xhat, axis=-1, keepdims=True)
-    ) * inv
+    if n is None:
+        m1 = jnp.mean(g0, axis=-1, keepdims=True)
+        m2 = jnp.mean(g0 * xhat, axis=-1, keepdims=True)
+    else:
+        m1 = jnp.sum(g0, axis=-1, keepdims=True) * (1.0 / n)
+        m2 = jnp.sum(g0 * xhat, axis=-1, keepdims=True) * (1.0 / n)
+    dx = (g0 - m1 - xhat * m2) * inv
     ds = jnp.sum(dy * xhat, axis=0, keepdims=True)
     db = jnp.sum(dy, axis=0, keepdims=True)
     return dx, ds, db
@@ -459,16 +484,17 @@ fused_block.defvjp(_fb_vjp_fwd, _fb_vjp_bwd)
 
 
 def _attn_branch_fwd_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, o_ref, a_ref,
-                            *, H, d, L, scale, G):
+                            *, H, d, L, scale, G, n=None):
     # flat (G·L, D) block: LN/qkv/proj run as ONE GEMM over all G images
     # (M = G·L keeps the MXU M-tiling dense); attention is per-image on
-    # static row slices.
-    D = H * d
+    # static row slices. ``n``: real feature count when the caller padded
+    # D up to the 128-lane tile (see ``fused_attn_branch``'s d_real).
+    D = x_ref.shape[-1]
     cast = x_ref.dtype
     masks = _masks(H, d, D, cast)
     masks_f = [m.astype(jnp.float32) for m in masks]
     x = x_ref[...]
-    y1, _, _ = _ln_fwd(x, s1[...], b1[...])
+    y1, _, _ = _ln_fwd(x, s1[...], b1[...], n)
     y1 = y1.astype(cast)
     qkv = (_dot(y1, wqkv[...]) + bqkv[...]).astype(cast)  # (G·L, 3D)
     a_parts = []
@@ -488,8 +514,8 @@ def _attn_branch_fwd_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, o_ref, a_ref,
 
 def _attn_branch_bwd_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, a_ref, g_ref,
                             dx_ref, ds1, db1, dwqkv, dbqkv, dwp, dbp,
-                            *, H, d, L, scale, G):
-    D = H * d
+                            *, H, d, L, scale, G, n=None):
+    D = x_ref.shape[-1]
     cast = x_ref.dtype
     masks = _masks(H, d, D, cast)
     masks_f = [m.astype(jnp.float32) for m in masks]
@@ -503,7 +529,7 @@ def _attn_branch_bwd_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, a_ref, g_ref,
     x = x_ref[...]
     gy = g_ref[...]
     a = a_ref[...]
-    y1_f, xhat1, inv1 = _ln_fwd(x, s1[...], b1[...])
+    y1_f, xhat1, inv1 = _ln_fwd(x, s1[...], b1[...], n)
     y1 = y1_f.astype(cast)
     qkv = (_dot(y1, wqkv[...]) + bqkv[...]).astype(cast)
     dp = gy.astype(cast)
@@ -523,16 +549,16 @@ def _attn_branch_bwd_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, a_ref, g_ref,
     dwqkv[...] += _dot_tn(y1, dqkvc)
     dbqkv[...] += jnp.sum(dqkv, axis=0, keepdims=True)
     dy1 = _dot_nt(dqkvc, wqkv[...])
-    dx_ln, i_ds1, i_db1 = _ln_bwd(dy1, xhat1, inv1, s1[...])
+    dx_ln, i_ds1, i_db1 = _ln_bwd(dy1, xhat1, inv1, s1[...], n)
     ds1[...] += i_ds1
     db1[...] += i_db1
     dx_ref[...] = (gy.astype(jnp.float32) + dx_ln).astype(dx_ref.dtype)
 
 
-def _mlp_branch_fwd_kernel(x_ref, s2, b2, w1, b1f, w2, b2f, o_ref):
+def _mlp_branch_fwd_kernel(x_ref, s2, b2, w1, b1f, w2, b2f, o_ref, *, n=None):
     cast = x_ref.dtype
     x = x_ref[...]
-    y2, _, _ = _ln_fwd(x, s2[...], b2[...])
+    y2, _, _ = _ln_fwd(x, s2[...], b2[...], n)
     y2 = y2.astype(cast)
     z = (_dot(y2, w1[...]) + b1f[...]).astype(cast)  # bf16 z, like the flax path
     h = _gelu_fwd(z.astype(jnp.float32)).astype(cast)
@@ -541,7 +567,7 @@ def _mlp_branch_fwd_kernel(x_ref, s2, b2, w1, b1f, w2, b2f, o_ref):
 
 
 def _mlp_branch_bwd_kernel(x_ref, s2, b2, w1, b1f, w2, b2f, g_ref,
-                           dx_ref, ds2, db2, dw1, db1f, dw2, db2f):
+                           dx_ref, ds2, db2, dw1, db1f, dw2, db2f, *, n=None):
     cast = x_ref.dtype
     grad_refs = (ds2, db2, dw1, db1f, dw2, db2f)
 
@@ -552,7 +578,7 @@ def _mlp_branch_bwd_kernel(x_ref, s2, b2, w1, b1f, w2, b2f, g_ref,
 
     x = x_ref[...]
     gy = g_ref[...]
-    y2_f, xhat2, inv2 = _ln_fwd(x, s2[...], b2[...])
+    y2_f, xhat2, inv2 = _ln_fwd(x, s2[...], b2[...], n)
     y2 = y2_f.astype(cast)
     z = (_dot(y2, w1[...]) + b1f[...]).astype(cast)
     zf = z.astype(jnp.float32)
@@ -566,7 +592,7 @@ def _mlp_branch_bwd_kernel(x_ref, s2, b2, w1, b1f, w2, b2f, g_ref,
     dw1[...] += _dot_tn(y2, dzc)
     db1f[...] += jnp.sum(dz, axis=0, keepdims=True)
     dy2 = _dot_nt(dzc, w1[...])
-    dx_ln, i_ds2, i_db2 = _ln_bwd(dy2, xhat2, inv2, s2[...])
+    dx_ln, i_ds2, i_db2 = _ln_bwd(dy2, xhat2, inv2, s2[...], n)
     ds2[...] += i_ds2
     db2[...] += i_db2
     dx_ref[...] = (gy.astype(jnp.float32) + dx_ln).astype(dx_ref.dtype)
@@ -582,10 +608,25 @@ def _prep6(params, cast):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def fused_attn_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads):
-    """x + proj(head-stacked-attention(qkv(LN(x)))) as one Pallas kernel."""
-    return _ab_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused_attn_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                       num_heads, d_real):
+    return _ab_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                   num_heads, d_real)[0]
+
+
+def fused_attn_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                      num_heads, d_real=None):
+    """x + proj(head-stacked-attention(qkv(LN(x)))) as one Pallas kernel.
+
+    ``d_real``: real feature count when the caller zero-padded D up to the
+    128-lane tile (sub-lane-tile model dims like the JEPA predictor's D=96
+    hard-fault Mosaic; padded to 128 they run the proven D≥128 path — the
+    MXU pads 96→128 lanes anyway, so the extra columns are free). LN
+    statistics use d_real; padded weight entries must be zero.
+    """
+    return _fused_attn_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                              num_heads, d_real)
 
 
 def _flat_spec(G, L, D):
@@ -593,18 +634,22 @@ def _flat_spec(G, L, D):
     return pl.BlockSpec((G * L, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
-def _ab_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads):
+def _ab_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads,
+            d_real=None):
     params = (ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
     B, L, D = x.shape
     H = num_heads
-    d = D // H
+    dr = D if d_real is None else d_real
+    d = dr // H
+    n = None if dr == D else dr
     scale = 1.0 / (d**0.5)
     G = _flat_group(B, L)
     kp = _prep6(params, x.dtype)
     xspec = _flat_spec(G, L, D)
     shape = jax.ShapeDtypeStruct((B * L, D), x.dtype)
     xo, a = pl.pallas_call(
-        functools.partial(_attn_branch_fwd_kernel, H=H, d=d, L=L, scale=scale, G=G),
+        functools.partial(_attn_branch_fwd_kernel, H=H, d=d, L=L, scale=scale,
+                          G=G, n=n),
         grid=(B // G,),
         in_specs=[xspec] + [_full_spec(p.shape) for p in kp],
         out_specs=(xspec, xspec),
@@ -619,18 +664,21 @@ def _ab_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads):
     return xo.reshape(B, L, D), (x, params, a)
 
 
-def _ab_bwd(num_heads, res, g):
+def _ab_bwd(num_heads, d_real, res, g):
     x, params, a = res
     B, L, D = x.shape
     H = num_heads
-    d = D // H
+    dr = D if d_real is None else d_real
+    d = dr // H
+    n = None if dr == D else dr
     scale = 1.0 / (d**0.5)
     G = _flat_group(B, L)
     kp = _prep6(params, x.dtype)
     xspec = _flat_spec(G, L, D)
     grad_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in kp]
     outs = pl.pallas_call(
-        functools.partial(_attn_branch_bwd_kernel, H=H, d=d, L=L, scale=scale, G=G),
+        functools.partial(_attn_branch_bwd_kernel, H=H, d=d, L=L, scale=scale,
+                          G=G, n=n),
         grid=(B // G,),
         in_specs=[xspec] + [_full_spec(p.shape) for p in kp] + [xspec, xspec],
         out_specs=tuple([xspec] + [_full_spec(p.shape) for p in kp]),
@@ -651,27 +699,36 @@ def _ab_bwd(num_heads, res, g):
     return (dx, *dparams)
 
 
-fused_attn_branch.defvjp(
-    lambda x, s, b, wq, bq, wp, bp, H: _ab_fwd(x, s, b, wq, bq, wp, bp, H),
+_fused_attn_branch.defvjp(
+    lambda x, s, b, wq, bq, wp, bp, H, dr: _ab_fwd(x, s, b, wq, bq, wp, bp, H, dr),
     _ab_bwd,
 )
 
 
-@jax.custom_vjp
-def fused_mlp_branch(x, ln_scale, ln_bias, w1, b1, w2, b2):
-    """x + fc2(gelu(fc1(LN(x)))) as one Pallas kernel (exact-erf GELU)."""
-    return _mb_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _fused_mlp_branch(x, ln_scale, ln_bias, w1, b1, w2, b2, d_real):
+    return _mb_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, d_real)[0]
 
 
-def _mb_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2):
+def fused_mlp_branch(x, ln_scale, ln_bias, w1, b1, w2, b2, d_real=None):
+    """x + fc2(gelu(fc1(LN(x)))) as one Pallas kernel (exact-erf GELU).
+
+    ``d_real`` as in ``fused_attn_branch``: real feature count under lane
+    padding (zero pad cols/weights; LN statistics over d_real features).
+    """
+    return _fused_mlp_branch(x, ln_scale, ln_bias, w1, b1, w2, b2, d_real)
+
+
+def _mb_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, d_real=None):
     params = (ln_scale, ln_bias, w1, b1, w2, b2)
     B, L, D = x.shape
     F = w1.shape[-1]
+    n = None if (d_real is None or d_real == D) else d_real
     G = _flat_group(B, L)
     kp = _prep6(params, x.dtype)
     xspec = _flat_spec(G, L, D)
     xo = pl.pallas_call(
-        _mlp_branch_fwd_kernel,
+        functools.partial(_mlp_branch_fwd_kernel, n=n),
         grid=(B // G,),
         in_specs=[xspec] + [_full_spec(p.shape) for p in kp],
         out_specs=xspec,
@@ -686,16 +743,17 @@ def _mb_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2):
     return xo.reshape(B, L, D), (x, params)
 
 
-def _mb_bwd(res, g):
+def _mb_bwd(d_real, res, g):
     x, params = res
     B, L, D = x.shape
     F = params[2].shape[-1]
+    n = None if (d_real is None or d_real == D) else d_real
     G = _flat_group(B, L)
     kp = _prep6(params, x.dtype)
     xspec = _flat_spec(G, L, D)
     grad_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in kp]
     outs = pl.pallas_call(
-        _mlp_branch_bwd_kernel,
+        functools.partial(_mlp_branch_bwd_kernel, n=n),
         grid=(B // G,),
         in_specs=[xspec] + [_full_spec(p.shape) for p in kp] + [xspec],
         out_specs=tuple([xspec] + [_full_spec(p.shape) for p in kp]),
@@ -716,7 +774,7 @@ def _mb_bwd(res, g):
     return (dx, *dparams)
 
 
-fused_mlp_branch.defvjp(_mb_fwd, _mb_bwd)
+_fused_mlp_branch.defvjp(_mb_fwd, _mb_bwd)
 
 
 @functools.lru_cache(maxsize=None)
@@ -725,23 +783,58 @@ def _supported_cached(B, H, L, D, F, dtype_name):
 
 
 @functools.lru_cache(maxsize=None)
-def _split_supported_cached(B, H, L, D, F, dtype_name):
-    return split_supported(B, H, L, D, F, dtype_name)
+def _split_supported_cached(B, H, L, D, F, dtype_name, d_real=None):
+    return split_supported(B, H, L, D, F, dtype_name, d_real)
+
+
+# Lane-tile width: sub-lane model dims (D < 128) are zero-padded up to this
+# for the "split_pad" route — the MXU pads lanes to 128 regardless, so the
+# extra columns cost no MXU passes, and at D=128 the kernels run the
+# hardware-proven D≥128 configuration instead of the faulting sub-lane one.
+_LANE = 128
 
 
 def block_impl(B: int, L: int, D: int, H: int, F: int, dtype, impl: str):
     """Kernel policy for a transformer block.
 
     Returns ``"split"`` (production: attn-branch + mlp-branch kernels),
-    ``"mono"`` (whole-block kernel; measured-and-kept for ablation —
+    ``"split_pad"`` (split kernels on features zero-padded to the 128-lane
+    tile — the production route for sub-lane dims like the JEPA predictor's
+    D=96), ``"mono"`` (whole-block kernel; measured-and-kept for ablation —
     docs/PERFORMANCE.md), or ``None`` (per-sub-layer flax path). ``auto``
-    picks split on TPU; ``impl='split'``/``'block'`` force (raising when the
-    shape is unsupported); any other explicit impl ("xla", "pallas",
-    "packed", "stacked") keeps the sub-layer path so the kernel lineage
-    stays independently testable.
+    picks split (or split_pad for D<128) on TPU; ``impl='split'``/``'block'``/
+    ``'split_pad'`` force (raising when the shape is unsupported); any other
+    explicit impl ("xla", "pallas", "packed", "stacked") keeps the sub-layer
+    path so the kernel lineage stays independently testable.
     """
-    if impl not in ("auto", "block", "split"):
+    if impl not in ("auto", "block", "split", "split_pad"):
         return None
+    try:
+        dtype = jnp.dtype(dtype)  # accept dtype instances and scalar types
+    except TypeError:
+        pass
+    if impl == "split_pad" or (impl == "auto" and 0 < D < _LANE):
+        # sub-lane-tile model dim: the flat split kernels at the RAW D
+        # hard-fault Mosaic (measured: worker crash at L=145, D=96, H=6;
+        # every D=144/192 shape passes — the trigger is the implicit
+        # 96→128 lane padding combined with per-image row slices at odd
+        # offsets). Zero-padding D up to 128 outside the kernel runs the
+        # proven configuration; LN statistics use the real D (d_real).
+        padded_ok = (
+            D % H == 0
+            and D < _LANE
+            and _split_supported_cached(B, H, L, _LANE, F, str(dtype), D)
+        )
+        if impl == "split_pad":
+            if not padded_ok:
+                raise ValueError(
+                    f"padded fused block unsupported for B={B} L={L} D={D} "
+                    f"H={H} F={F}"
+                )
+            return "split_pad"
+        from ssrl_vit_mae_jepa_tpu.ops.attention import _on_tpu
+
+        return "split_pad" if (padded_ok and _on_tpu()) else None
     try:
         ok = _supported_cached(B, H, L, D, F, str(dtype))
     except Exception:
@@ -759,17 +852,35 @@ def block_impl(B: int, L: int, D: int, H: int, F: int, dtype, impl: str):
         return "mono" if impl == "block" else "split"
     from ssrl_vit_mae_jepa_tpu.ops.attention import _on_tpu
 
-    # auto additionally requires D >= 128 and head dim >= 24: D=96/d=16
-    # (the JEPA predictor) HARD-FAULTS the TPU in the flat split kernels
-    # (measured: worker crash at L=145, D=96, H=6; every D=144/192 shape
-    # passes) — Mosaic mishandles the sub-lane-tile 96→128 padding with
-    # per-image row slices at odd offsets. Those shapes auto-route to the
-    # proven stacked-attention sub-layer path instead; forcing
-    # impl='split'/'block' still works (interpret-mode tests, future
-    # Mosaic revisit).
-    if D < 128 or (D // H) < 24:
+    # auto for D >= 128 additionally requires head dim >= 24: the
+    # documented fault class is batch/G-dependent and only D=144/192
+    # (d=24/32) shapes are hardware-validated on the flat kernels
+    if (D // H) < 24:
         return None
     return "split" if (ok and splittable and _on_tpu()) else None
+
+
+def pad_attn_branch_params(ln_s, ln_b, wqkv, bqkv, wp, bp, pad: int):
+    """Zero-pad attn-branch params from D to D+pad (q/k/v blocks separately,
+    so the kernel's ``[:, :D] / [:, D:2D] / [:, 2D:]`` slices stay aligned)."""
+    D = wp.shape[0]
+    return (
+        jnp.pad(ln_s, (0, pad)), jnp.pad(ln_b, (0, pad)),
+        jnp.pad(wqkv.reshape(D, 3, D), ((0, pad), (0, 0), (0, pad))).reshape(
+            D + pad, 3 * (D + pad)
+        ),
+        jnp.pad(bqkv.reshape(3, D), ((0, 0), (0, pad))).reshape(-1),
+        jnp.pad(wp, ((0, pad), (0, pad))), jnp.pad(bp, (0, pad)),
+    )
+
+
+def pad_mlp_branch_params(ln_s, ln_b, w1, b1, w2, b2, pad: int):
+    """Zero-pad mlp-branch params from D to D+pad (hidden dim F unchanged)."""
+    return (
+        jnp.pad(ln_s, (0, pad)), jnp.pad(ln_b, (0, pad)),
+        jnp.pad(w1, ((0, pad), (0, 0))), b1,
+        jnp.pad(w2, ((0, 0), (0, pad))), jnp.pad(b2, (0, pad)),
+    )
 
 
 def use_fused_block(B: int, L: int, D: int, H: int, F: int, dtype, impl: str) -> bool:

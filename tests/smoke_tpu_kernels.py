@@ -37,16 +37,18 @@ def main():
     rng = np.random.default_rng(0)
     ok = True
     # (B, L, D, H): MAE encoder, MAE decoder/classifier, JEPA target encoder,
-    # JEPA context encoder, JEPA predictor (sub-lane-tile: split-stacked
-    # path). The predictor AND the JEPA target encoder run at BOTH small and
-    # reference batch — the D<128 fault class is batch-dependent (B=2000/G=4
-    # crashed where B<=768 ran clean), so a small-batch pass is NOT
-    # sufficient evidence; (2000, 145, 144) covers the grid-250 fused-block
+    # JEPA context encoder, JEPA predictor (D=96: auto now routes to the
+    # lane-PADDED split kernels, "split_pad" — D zero-padded to 128). The
+    # predictor AND the JEPA target encoder run at BOTH small and reference
+    # batch — the D<128 fault class is batch-dependent (B=2000/G=4 crashed
+    # where B<=768 ran clean), so a small-batch pass is NOT sufficient
+    # evidence; (2000, 145, 144) covers the grid-250 fused-block
     # configuration of the round-2 batch-2000 suspect list (bisected clean
-    # in round 3, docs/PERFORMANCE.md).
+    # in round 3, docs/PERFORMANCE.md). (100, 145, 96): no legal flat image
+    # group → exercises the RETAINED G=1-pinned split-stacked fallback.
     cases = [(64, 37, 144, 6), (64, 145, 192, 6), (64, 145, 144, 6),
              (64, 45, 144, 6), (64, 145, 96, 6), (2000, 145, 96, 6),
-             (2000, 145, 144, 6)]
+             (2000, 145, 144, 6), (100, 145, 96, 6)]
     for B, L, D, H in cases:
         x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.bfloat16)
         g = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)

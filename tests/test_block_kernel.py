@@ -32,6 +32,15 @@ PROD_SHAPES = [
     (2, 45, 144, 6),
 ]
 
+# Sub-lane model dims (D < 128) for the lane-padded split route
+# ("split_pad"): the JEPA predictor (D=96, the production user), plus a
+# small odd shape exercising the whole-batch fallback group
+PAD_SHAPES = [
+    (4, 145, 96, 6),
+    (2, 45, 96, 6),
+    (3, 17, 48, 4),
+]
+
 
 class TestFusedBlock:
     def test_param_tree_identical(self):
@@ -109,6 +118,56 @@ class TestFusedBlock:
                 err_msg=f"{jax.tree_util.keystr(path)} at L={L} D={D} {dtype}",
             )
 
+    @pytest.mark.parametrize("B,L,D,H", PAD_SHAPES)
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_forward_split_pad(self, B, L, D, H, dtype):
+        """Lane-padded split kernels (sub-lane D zero-padded to 128, LN over
+        d_real) match the flax path — the production route for the JEPA
+        predictor after the D<128 Mosaic fault (docs/PERFORMANCE.md)."""
+        x = _rand((B, L, D), 0, dtype)
+        ref = Block(D, H, dtype=dtype, attn_impl="xla")
+        fused = Block(D, H, dtype=dtype, attn_impl="split_pad")
+        params = ref.init(jax.random.PRNGKey(1), x)
+        out_ref = ref.apply(params, x)
+        with pltpu.force_tpu_interpret_mode():
+            out = fused.apply(params, x)
+        atol = 5e-5 if dtype == jnp.float32 else 6e-2
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(out_ref, np.float32), atol=atol
+        )
+
+    @pytest.mark.parametrize("B,L,D,H", PAD_SHAPES)
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_backward_split_pad(self, B, L, D, H, dtype):
+        """Every weight gradient + input gradient through the lane-padded
+        split kernels matches the flax path (pad-column garbage must never
+        contaminate real gradients — zero-padded weights guarantee it)."""
+        x = _rand((B, L, D), 0, dtype)
+        g = _rand((B, L, D), 7, dtype)
+        ref = Block(D, H, dtype=dtype, attn_impl="xla")
+        fused = Block(D, H, dtype=dtype, attn_impl="split_pad")
+        params = ref.init(jax.random.PRNGKey(1), x)
+
+        def loss(mod):
+            return lambda p, x: jnp.sum(
+                mod.apply(p, x).astype(jnp.float32) * g.astype(jnp.float32)
+            )
+
+        ref_g = jax.grad(loss(ref), argnums=(0, 1))(params, x)
+        with pltpu.force_tpu_interpret_mode():
+            fused_g = jax.grad(loss(fused), argnums=(0, 1))(params, x)
+        atol = 3e-4 if dtype == jnp.float32 else 5e-1
+        rtol = 1e-6 if dtype == jnp.float32 else 5e-2
+        flat_ref = jax.tree_util.tree_leaves_with_path(ref_g)
+        flat_fused = jax.tree_util.tree_leaves(fused_g)
+        assert len(flat_ref) == len(flat_fused)
+        for (path, a), b in zip(flat_ref, flat_fused):
+            np.testing.assert_allclose(
+                np.asarray(b, np.float32), np.asarray(a, np.float32),
+                atol=atol, rtol=rtol,
+                err_msg=f"{jax.tree_util.keystr(path)} at L={L} D={D} {dtype}",
+            )
+
     def test_erf_approximation(self):
         """In-kernel erf (A&S 7.1.26) matches jax.lax.erf to <1e-6."""
         from ssrl_vit_mae_jepa_tpu.ops.block_pallas import _erf
@@ -164,17 +223,30 @@ class TestFusedBlock:
         assert bp._flat_group(768, 145) == 8  # (3*145) % 8 != 0 → auto
 
     def test_auto_policy_excludes_sublane_dims(self):
-        """auto never fuses D<128 or head-dim<24 (TPU kernel fault shapes).
+        """auto never runs D<128 RAW or head-dim<24 (TPU kernel fault shapes).
 
         Measured on v5e: the flat split kernels hard-fault the TPU worker at
         the JEPA-predictor shape (L=145, D=96, d=16) while every D=144/192
-        shape passes. The auto policy must route such shapes to the
-        sub-layer path regardless of platform.
+        shape passes. Sub-lane dims route to the lane-PADDED split kernels
+        ("split_pad", D zero-padded to 128 — the proven configuration) on
+        TPU, and to the sub-layer path on CPU.
         """
         from ssrl_vit_mae_jepa_tpu.ops.block_pallas import block_impl
 
-        # JEPA predictor: D=96 < 128
-        assert block_impl(64, 145, 96, 6, 384, jnp.bfloat16, "auto") is None
+        # JEPA predictor: D=96 < 128 — split_pad on TPU, None on CPU (this
+        # test host); forcing split_pad works anywhere (interpret tests)
+        assert block_impl(64, 145, 96, 6, 384, jnp.bfloat16, "auto") in (
+            None, "split_pad",
+        )
+        assert block_impl(64, 145, 96, 6, 384, jnp.bfloat16, "split_pad") == "split_pad"
+        # split_pad is only for sub-lane dims: D>=128 must raise when forced
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            block_impl(64, 145, 144, 6, 576, jnp.bfloat16, "split_pad")
+        # no legal flat image group (B=100, L=145) → padded route unavailable
+        with _pt.raises(ValueError):
+            block_impl(100, 145, 96, 6, 384, jnp.bfloat16, "split_pad")
         # head dim 16 < 24 even with D >= 128
         assert block_impl(64, 145, 128, 8, 512, jnp.bfloat16, "auto") is None
         # same gate for the standalone stacked-attention auto policy
