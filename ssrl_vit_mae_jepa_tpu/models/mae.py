@@ -24,7 +24,11 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ssrl_vit_mae_jepa_tpu.models.vit import Block, VisionTransformer, trunc_normal_init
+from ssrl_vit_mae_jepa_tpu.models.vit import (
+    VisionTransformer,
+    _BlockParams,
+    trunc_normal_init,
+)
 from ssrl_vit_mae_jepa_tpu.ops.masking import (
     get_at_index,
     get_at_index_mm,
@@ -62,13 +66,13 @@ class MAEDecoder(nn.Module):
             (1, self.num_patches + 1, dd),
             jnp.float32,
         )
+        # single param declaration for both block routes (weight-resident
+        # chain kernel on TPU / per-block Block with injected params) —
+        # see models.vit.run_block_stack; tree unchanged: decoder_blocks_{i}
         self.decoder_blocks = [
-            Block(
+            _BlockParams(
                 dd,
-                self.decoder_num_heads,
-                self.mlp_ratio,
-                dtype=self.dtype,
-                attn_impl=self.attn_impl,
+                int(dd * self.mlp_ratio),
                 name=f"decoder_blocks_{i}",
             )
             for i in range(self.decoder_depth)
@@ -87,9 +91,13 @@ class MAEDecoder(nn.Module):
         return self.decoder_embed(x.astype(self.dtype))
 
     def decode(self, x):
+        from ssrl_vit_mae_jepa_tpu.models.vit import run_block_stack
+
         x = x + self.decoder_pos_embed.astype(self.dtype)
-        for block in self.decoder_blocks:
-            x = block(x)
+        x = run_block_stack(
+            x, self.decoder_blocks, self.decoder_embed_dim,
+            self.decoder_num_heads, self.mlp_ratio, self.dtype, self.attn_impl,
+        )
         return self.decoder_norm(x)
 
     def predict(self, x):

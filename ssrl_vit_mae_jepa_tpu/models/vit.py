@@ -156,6 +156,90 @@ class _MlpParams(nn.Module):
         )
 
 
+class _BlockParams(nn.Module):
+    """Declares one Block's EXACT param tree without computing (used by the
+    weight-resident chain kernel, which consumes all blocks' params at
+    once). Tree-identical to ``Block``'s fused path: norm1/attn/norm2/mlp."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        s1, b1 = _LNParams(self.dim, name="norm1")()
+        (wqkv, bqkv), (wp, bp) = _AttnParams(self.dim, name="attn")()
+        s2, b2 = _LNParams(self.dim, name="norm2")()
+        (w1, b1f), (w2, b2f) = _MlpParams(self.dim, self.hidden, name="mlp")()
+        return (s1, b1, wqkv, bqkv, wp, bp, s2, b2, w1, b1f, w2, b2f)
+
+
+_BLOCK_TREE = (
+    ("norm1", "scale"), ("norm1", "bias"),
+    ("attn", "qkv", "kernel"), ("attn", "qkv", "bias"),
+    ("attn", "proj", "kernel"), ("attn", "proj", "bias"),
+    ("norm2", "scale"), ("norm2", "bias"),
+    ("mlp", "fc1", "kernel"), ("mlp", "fc1", "bias"),
+    ("mlp", "fc2", "kernel"), ("mlp", "fc2", "bias"),
+)
+
+
+def _block_tree(p12):
+    """12-tuple (``fused_block`` order) → Block's nested flax param dict."""
+    tree: dict = {}
+    for path, leaf in zip(_BLOCK_TREE, p12):
+        node = tree
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = leaf
+    return tree
+
+
+def run_block_stack(x, param_mods, dim, num_heads, mlp_ratio, dtype, attn_impl):
+    """Run a stack of transformer blocks over declared per-block params.
+
+    ``param_mods``: ``_BlockParams`` submodules (one per block, canonical
+    names) — the SINGLE param declaration for both routes. On TPU, when
+    every block would take the fused split route, the whole stack runs as
+    ONE weight-resident chain kernel (``ops/block_chain.py``: activations
+    and the backward gradient chain never leave VMEM between blocks);
+    otherwise each block's params are injected into the standard ``Block``
+    module (identical math and dispatch). Param tree, checkpoints, freeze
+    masks and torch interop are unaffected by the route taken.
+    """
+    from ssrl_vit_mae_jepa_tpu.ops.block_chain import chain_impl, fused_block_chain
+
+    B, L, D = x.shape
+    depth = len(param_mods)
+    hidden = int(dim * mlp_ratio)
+    params = [m() for m in param_mods]
+    use_chain, d_real = chain_impl(B, L, D, num_heads, hidden, depth,
+                                   jnp.dtype(dtype), attn_impl)
+    if use_chain:
+        x = x.astype(dtype)
+        if d_real is not None:
+            from ssrl_vit_mae_jepa_tpu.ops.block_pallas import (
+                pad_attn_branch_params,
+                pad_mlp_branch_params,
+            )
+
+            pad = 128 - D
+            xp = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+            padded = [
+                pad_attn_branch_params(*p[:6], pad)
+                + pad_mlp_branch_params(*p[6:], pad)
+                for p in params
+            ]
+            return fused_block_chain(xp, padded, num_heads, d_real=D)[..., :D]
+        return fused_block_chain(x, params, num_heads)
+    # parent=None: detached module — params are INJECTED via apply, the
+    # declaration above (param_mods) is the single source of truth
+    blk = Block(dim, num_heads, mlp_ratio, dtype=dtype, attn_impl=attn_impl,
+                parent=None)
+    for p in params:
+        x = blk.apply({"params": _block_tree(p)}, x)
+    return x
+
+
 class Block(nn.Module):
     dim: int
     num_heads: int
@@ -279,15 +363,14 @@ class VisionTransformer(nn.Module):
             # cheaper at B=384 than XLA's scatter (docs/PERFORMANCE.md)
             x = get_at_index_mm(x, idx_keep)
 
-        for i in range(self.depth):
-            x = Block(
-                D,
-                self.num_heads,
-                self.mlp_ratio,
-                dtype=self.dtype,
-                attn_impl=self.attn_impl,
-                name=f"blocks_{i}",
-            )(x)
+        hidden = int(D * self.mlp_ratio)
+        param_mods = [
+            _BlockParams(D, hidden, name=f"blocks_{i}") for i in range(self.depth)
+        ]
+        x = run_block_stack(
+            x, param_mods, D, self.num_heads, self.mlp_ratio,
+            self.dtype, self.attn_impl,
+        )
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x

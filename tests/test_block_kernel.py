@@ -308,3 +308,93 @@ class TestFusedBlock:
                 np.asarray(b), np.asarray(a), atol=1e-4,
                 err_msg=jax.tree_util.keystr(path),
             )
+
+
+# (B, L, D, H, N): MAE encoder stack (depth 4), MAE decoder stack (depth 2),
+# and the JEPA predictor stack (sub-lane D=96 → lane-padded chain route)
+CHAIN_SHAPES = [
+    (4, 37, 144, 6, 4),
+    (2, 145, 192, 6, 2),
+    (4, 45, 96, 6, 2),
+]
+
+
+class TestChainKernel:
+    """Weight-resident multi-block chain kernel (``ops/block_chain.py``).
+
+    Forced-only lineage: auto routing measured SLOWER than the per-block
+    split kernels on v5e (see chain_impl docstring + docs/PERFORMANCE.md
+    round-3 rejected-lever table), so ``attn_impl='chain'`` is the only
+    way in. These tests pin forced-chain fwd+bwd — through the full
+    ``VisionTransformer``/``run_block_stack`` machinery, exercising
+    ``_BlockParams`` declaration + param injection — to the XLA path.
+    """
+
+    @pytest.mark.parametrize("B,L,D,H,N", CHAIN_SHAPES)
+    def test_stack_forward_backward(self, B, L, D, H, N):
+        from ssrl_vit_mae_jepa_tpu.models.vit import run_block_stack, _BlockParams
+        import flax.linen as nn
+
+        class Stack(nn.Module):
+            attn_impl: str = "xla"
+
+            @nn.compact
+            def __call__(self, x):
+                mods = [_BlockParams(D, 4 * D, name=f"blocks_{i}")
+                        for i in range(N)]
+                return run_block_stack(x, mods, D, H, 4.0, jnp.float32,
+                                       self.attn_impl)
+
+        x = _rand((B, L, D), 0)
+        g = _rand((B, L, D), 7)
+        ref = Stack("xla")
+        params = ref.init(jax.random.PRNGKey(1), x)
+
+        def loss(mod):
+            return lambda p, x: jnp.sum(mod.apply(p, x) * g)
+
+        out_ref = ref.apply(params, x)
+        ref_g = jax.grad(loss(ref), argnums=(0, 1))(params, x)
+        chain = Stack("chain")
+        with pltpu.force_tpu_interpret_mode():
+            out = chain.apply(params, x)
+            chain_g = jax.grad(loss(chain), argnums=(0, 1))(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=5e-5)
+        flat_ref = jax.tree_util.tree_leaves_with_path(ref_g)
+        flat_chain = jax.tree_util.tree_leaves(chain_g)
+        assert len(flat_ref) == len(flat_chain)
+        for (path, a), b in zip(flat_ref, flat_chain):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=3e-4, rtol=1e-5,
+                err_msg=f"{jax.tree_util.keystr(path)} at L={L} D={D} N={N}",
+            )
+
+    def test_param_tree_matches_block_path(self):
+        """run_block_stack's _BlockParams declaration produces the exact
+        tree the per-Block path does (checkpoint/freeze/interop compat)."""
+        from ssrl_vit_mae_jepa_tpu.models.vit import VisionTransformer
+
+        kw = dict(img_size=32, patch_size=8, embed_dim=48, depth=2,
+                  num_heads=4, dtype=jnp.float32)
+        x = _rand((2, 32, 32, 3), 0)
+        vit = VisionTransformer(attn_impl="xla", **kw)
+        params = vit.init(jax.random.PRNGKey(1), x)
+        names = [jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_leaves_with_path(params)]
+        assert any("blocks_0" in n and "qkv" in n for n in names)
+        assert any("blocks_1" in n and "fc2" in n for n in names)
+
+    def test_auto_never_takes_chain(self):
+        from ssrl_vit_mae_jepa_tpu.ops.block_chain import chain_impl
+
+        # flagship shapes, TPU-eligible — still rejected in auto (measured
+        # slower than split; forced-only lineage)
+        assert chain_impl(768, 37, 144, 6, 576, 4, jnp.bfloat16, "auto") == (False, None)
+        assert chain_impl(768, 145, 192, 6, 768, 2, jnp.bfloat16, "auto") == (False, None)
+        # forcing works for supported shapes, raises otherwise
+        ok, d_real = chain_impl(64, 145, 96, 6, 384, 2, jnp.bfloat16, "chain")
+        assert ok and d_real == 96
+        with pytest.raises(ValueError):
+            chain_impl(64, 145, 100, 6, 400, 2, jnp.bfloat16, "chain")  # D % H
+        with pytest.raises(ValueError):
+            chain_impl(64, 145, 144, 6, 576, 1, jnp.bfloat16, "chain")  # depth
