@@ -30,7 +30,6 @@ from ssrl_vit_mae_jepa_tpu.models.vit import (
     trunc_normal_init,
 )
 from ssrl_vit_mae_jepa_tpu.ops.masking import (
-    get_at_index,
     get_at_index_mm,
     repeat_token,
     set_at_index_mm,
@@ -184,7 +183,11 @@ class MaskedAutoencoder(nn.Module):
         x_pred = self.forward_decoder(x_encoded, idx_keep, idx_mask)
         patches = patchify(images, self.patch_size)
         idx_mask_adj = jnp.clip(idx_mask - 1, 0, None)
-        target = get_at_index(patches, idx_mask_adj)
+        # one-hot matmul, not take_along_axis: exact (fp32 0/1 contraction),
+        # and the gather's batch-minor layout preference cost ~1.3 ms/step
+        # of relayout copies around the fp32 target path at B=768
+        # (docs/PERFORMANCE.md round-3 profile)
+        target = get_at_index_mm(patches, idx_mask_adj)
         return x_pred, target
 
 

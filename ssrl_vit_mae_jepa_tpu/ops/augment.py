@@ -84,7 +84,8 @@ def _axis_weights(start, size, out_n: int, limit: int) -> jnp.ndarray:
 
 
 def _crop_resize_batch(
-    images: jnp.ndarray, tops, lefts, hs, ws, out_hw: Tuple[int, int]
+    images: jnp.ndarray, tops, lefts, hs, ws, out_hw: Tuple[int, int],
+    flip_x=None,
 ) -> jnp.ndarray:
     """Bilinear resample of per-image crop boxes → (B, out_h, out_w, C).
 
@@ -101,6 +102,9 @@ def _crop_resize_batch(
     out_h, out_w = out_hw
     wy = _axis_weights(tops, hs, out_h, H)  # (B, out_h, H)
     wx = _axis_weights(lefts, ws, out_w, W)  # (B, out_w, W)
+    if flip_x is not None:
+        # horizontal flip ≡ output-row reversal of the weight matrix
+        wx = jnp.where(flip_x[:, None, None], wx[:, ::-1, :], wx)
     # rows: contract H → (B, out_h, W, C)
     rows = jax.lax.dot_general(
         wy, images.reshape(B, H, W * C), (((2,), (1,)), ((0,), (0,))),
@@ -129,9 +133,16 @@ def random_resized_crop_flip_normalize(
     images = normalize(images_u8, dtype=jnp.float32)
 
     tops, lefts, hs, ws = _sample_crop_params(k_crop, B, H, W, scale, ratio)
-    out = _crop_resize_batch(images, tops, lefts, hs, ws, (out_size, out_size))
+    # flip folded into the resample: reversing the horizontal weight-matrix
+    # rows ≡ reversing the output columns, term-for-term (same two nonzeros
+    # per row, same order) — the select runs on the (B, out, W) weights
+    # instead of the 8× larger output images, and the full-image reverse op
+    # disappears from the step (~0.9 ms at B=768, docs/PERFORMANCE.md)
     flip = jax.random.bernoulli(k_flip, 0.5, (B, 1, 1, 1))
-    out = jnp.where(flip, out[:, :, ::-1, :], out)
+    out = _crop_resize_batch(
+        images, tops, lefts, hs, ws, (out_size, out_size),
+        flip_x=flip.reshape(B),
+    )
     return out.astype(dtype)
 
 
