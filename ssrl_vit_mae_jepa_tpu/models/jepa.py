@@ -97,8 +97,11 @@ class JEPA(nn.Module):
             (B, self.sequence_length),
         )
         seq = set_at_index(seq, idx_keep_tokens, x.astype(seq.dtype))
-        decoded = self.predictor.decode(seq)
+        decoded = self.predictor.decode_tokens(seq)
+        # gather-then-norm ≡ norm-then-gather (LN is per-token): norm only
+        # the target rows instead of the full 145-token sequence
         pred = get_at_index(decoded, idx_target_tokens)
+        pred = self.predictor.decoder_norm(pred)
         return self.predictor_proj(pred)
 
     def __call__(

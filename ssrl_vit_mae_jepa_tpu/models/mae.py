@@ -89,15 +89,24 @@ class MAEDecoder(nn.Module):
     def embed(self, x):
         return self.decoder_embed(x.astype(self.dtype))
 
-    def decode(self, x):
+    def decode_tokens(self, x):
+        """Pos-embed + decoder blocks, WITHOUT the final norm.
+
+        ``decoder_norm`` is per-token, so callers that consume only a
+        subset of positions (MAE: the masked tokens; JEPA: the targets)
+        gather FIRST and norm the gathered rows — identical numerics,
+        25–70% less LN work (docs/PERFORMANCE.md round-3 levers).
+        """
         from ssrl_vit_mae_jepa_tpu.models.vit import run_block_stack
 
         x = x + self.decoder_pos_embed.astype(self.dtype)
-        x = run_block_stack(
+        return run_block_stack(
             x, self.decoder_blocks, self.decoder_embed_dim,
             self.decoder_num_heads, self.mlp_ratio, self.dtype, self.attn_impl,
         )
-        return self.decoder_norm(x)
+
+    def decode(self, x):
+        return self.decoder_norm(self.decode_tokens(x))
 
     def predict(self, x):
         return self.decoder_pred(x)
@@ -170,8 +179,11 @@ class MaskedAutoencoder(nn.Module):
         x_masked = set_at_index_mm(
             x_masked, idx_keep, x_decode.astype(x_masked.dtype)
         )
-        x_decoded = self.decoder.decode(x_masked)
+        x_decoded = self.decoder.decode_tokens(x_masked)
+        # gather-then-norm ≡ norm-then-gather (LN is per-token): norm only
+        # the 108 masked rows instead of all 145
         x_pred = get_at_index_mm(x_decoded, idx_mask)
+        x_pred = self.decoder.decoder_norm(x_pred)
         return self.decoder.predict(x_pred)
 
     def __call__(
