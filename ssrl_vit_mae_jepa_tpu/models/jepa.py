@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ssrl_vit_mae_jepa_tpu.models.mae import MAEDecoder
 from ssrl_vit_mae_jepa_tpu.models.vit import VisionTransformer
-from ssrl_vit_mae_jepa_tpu.ops.masking import get_at_index
+from ssrl_vit_mae_jepa_tpu.ops.masking import get_at_index_mm
 
 
 class JEPA(nn.Module):
@@ -88,7 +88,7 @@ class JEPA(nn.Module):
 
     def predict_targets(self, x_ctx, idx_keep_tokens, idx_target_tokens):
         """Predict target latents from encoded context tokens."""
-        from ssrl_vit_mae_jepa_tpu.ops.masking import repeat_token, set_at_index
+        from ssrl_vit_mae_jepa_tpu.ops.masking import repeat_token, set_at_index_mm
 
         B = x_ctx.shape[0]
         x = self.predictor.embed(x_ctx)
@@ -96,11 +96,14 @@ class JEPA(nn.Module):
             self.predictor.mask_token_value().astype(self.dtype),
             (B, self.sequence_length),
         )
-        seq = set_at_index(seq, idx_keep_tokens, x.astype(seq.dtype))
+        # one-hot matmuls for every token scatter/gather: gathers force
+        # batch-minor layouts + relayout copies at each Pallas boundary
+        # (~2 ms/step at B=768 — docs/PERFORMANCE.md round-3 JEPA profile)
+        seq = set_at_index_mm(seq, idx_keep_tokens, x.astype(seq.dtype))
         decoded = self.predictor.decode_tokens(seq)
         # gather-then-norm ≡ norm-then-gather (LN is per-token): norm only
         # the target rows instead of the full 145-token sequence
-        pred = get_at_index(decoded, idx_target_tokens)
+        pred = get_at_index_mm(decoded, idx_target_tokens)
         pred = self.predictor.decoder_norm(pred)
         return self.predictor_proj(pred)
 
@@ -122,7 +125,7 @@ class JEPA(nn.Module):
     def target_representations(self, images, idx_target_tokens):
         """Full-sequence encode → gather target tokens (run with EMA params)."""
         tokens = self.encoder(images)
-        return get_at_index(tokens, idx_target_tokens)
+        return get_at_index_mm(tokens, idx_target_tokens)
 
 
 def jepa_from_config(model_cfg: dict, jepa_cfg: dict, dtype=jnp.bfloat16,

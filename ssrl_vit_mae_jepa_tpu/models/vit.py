@@ -231,6 +231,30 @@ def run_block_stack(x, param_mods, dim, num_heads, mlp_ratio, dtype, attn_impl):
             ]
             return fused_block_chain(xp, padded, num_heads, d_real=D)[..., :D]
         return fused_block_chain(x, params, num_heads)
+    from ssrl_vit_mae_jepa_tpu.ops.block_pallas import block_impl
+
+    mode = block_impl(B, L, D, num_heads, hidden, jnp.dtype(dtype), attn_impl)
+    if mode == "split_pad":
+        # sub-lane stack (JEPA predictor D=96): pad the features to the
+        # 128-lane tile ONCE for the whole stack instead of per block —
+        # the per-block pad/slice pairs (2·depth relayout copies at
+        # B·L·128) disappear; kernels and numerics identical to Block's
+        # split_pad branch (LN statistics over d_real inside the kernel)
+        from ssrl_vit_mae_jepa_tpu.ops.block_pallas import (
+            fused_attn_branch,
+            fused_mlp_branch,
+            pad_attn_branch_params,
+            pad_mlp_branch_params,
+        )
+
+        pad = 128 - D
+        xp = jnp.pad(x.astype(dtype), ((0, 0), (0, 0), (0, pad)))
+        for p in params:
+            ap = pad_attn_branch_params(*p[:6], pad)
+            mp = pad_mlp_branch_params(*p[6:], pad)
+            xp = fused_attn_branch(xp, *ap, num_heads, d_real=D)
+            xp = fused_mlp_branch(xp, *mp, d_real=D)
+        return xp[..., :D]
     # parent=None: detached module — params are INJECTED via apply, the
     # declaration above (param_mods) is the single source of truth
     blk = Block(dim, num_heads, mlp_ratio, dtype=dtype, attn_impl=attn_impl,

@@ -512,6 +512,34 @@ def _attn_branch_fwd_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, o_ref, a_ref,
     o_ref[...] = x + p
 
 
+def _attn_branch_fwd_only_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, o_ref,
+                                 *, H, d, L, scale, G, n=None):
+    # stash-free forward: identical math to _attn_branch_fwd_kernel but no
+    # ``a`` output — the primal (non-differentiated) path of the custom_vjp
+    # uses this, so no-grad forwards (JEPA's EMA target encoder, every
+    # eval/val pass, probes) skip a (B·L, D) HBM write per attn branch
+    D = x_ref.shape[-1]
+    cast = x_ref.dtype
+    masks = _masks(H, d, D, cast)
+    masks_f = [m.astype(jnp.float32) for m in masks]
+    x = x_ref[...]
+    y1, _, _ = _ln_fwd(x, s1[...], b1[...], n)
+    y1 = y1.astype(cast)
+    qkv = (_dot(y1, wqkv[...]) + bqkv[...]).astype(cast)
+    a_parts = []
+    for g in range(G):
+        rows = slice(g * L, (g + 1) * L)
+        a_parts.append(
+            _attn_fwd_one(
+                qkv[rows, :D], qkv[rows, D : 2 * D], qkv[rows, 2 * D :],
+                masks=masks, masks_f=masks_f, scale=scale, L=L,
+            ).astype(cast)
+        )
+    a = jnp.concatenate(a_parts, axis=0) if G > 1 else a_parts[0]
+    p = (_dot(a, wp[...]) + bp[...]).astype(cast)
+    o_ref[...] = x + p
+
+
 def _attn_branch_bwd_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, a_ref, g_ref,
                             dx_ref, ds1, db1, dwqkv, dbqkv, dwp, dbp,
                             *, H, d, L, scale, G, n=None):
@@ -611,8 +639,10 @@ def _prep6(params, cast):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _fused_attn_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                        num_heads, d_real):
-    return _ab_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                   num_heads, d_real)[0]
+    # primal (runs when NOT under jax.grad — custom_vjp invokes the fwd
+    # rule with residuals only when differentiated): stash-free kernel
+    return _ab_fwd_only(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                        num_heads, d_real)
 
 
 def fused_attn_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
@@ -632,6 +662,36 @@ def fused_attn_branch(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 def _flat_spec(G, L, D):
     """Flat (G·L, D) block over a (B·L, D) array (M-dense MXU tiling)."""
     return pl.BlockSpec((G * L, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _ab_fwd_only(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads,
+                 d_real=None):
+    """Stash-free forward (single output) for non-differentiated calls."""
+    params = (ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
+    B, L, D = x.shape
+    H = num_heads
+    dr = D if d_real is None else d_real
+    d = dr // H
+    n = None if dr == D else dr
+    scale = 1.0 / (d**0.5)
+    G = _flat_group(B, L)
+    kp = _prep6(params, x.dtype)
+    xspec = _flat_spec(G, L, D)
+    xo = pl.pallas_call(
+        functools.partial(_attn_branch_fwd_only_kernel, H=H, d=d, L=L,
+                          scale=scale, G=G, n=n),
+        grid=(B // G,),
+        in_specs=[xspec] + [_full_spec(p.shape) for p in kp],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((B * L, D), x.dtype),
+        compiler_params=_COMPILER_PARAMS,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * L * (3 * D * D + D * D + 2 * H * L * d),
+            bytes_accessed=2 * B * L * D * x.dtype.itemsize,
+            transcendentals=B * H * L * L,
+        ),
+    )(x.reshape(B * L, D), *kp)
+    return xo.reshape(B, L, D)
 
 
 def _ab_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads,

@@ -64,7 +64,13 @@ def main():
         # grads w.r.t. params exercise all weight-gradient accumulators
         lf, gf = jax.jit(jax.value_and_grad(loss(auto)))(params, x, g)
         lr, gr = jax.jit(jax.value_and_grad(loss(ref)))(params, x, g)
-        rel = abs(float(lf) - float(lr)) / max(1.0, abs(float(lr)))
+        # no-grad forward: the custom_vjp PRIMAL path runs the stash-free
+        # fwd-only kernels (JEPA target encoder / eval passes)
+        lfwd = float(jax.jit(loss(auto))(params, x, g))
+        fwd_rel = abs(lfwd - float(lr)) / max(1.0, abs(float(lr)))
+        rel = max(
+            abs(float(lf) - float(lr)) / max(1.0, abs(float(lr))), fwd_rel
+        )
         gerr = max(
             float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
                   / (jnp.max(jnp.abs(b.astype(jnp.float32))) + 1e-6))

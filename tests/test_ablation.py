@@ -21,6 +21,7 @@ def run_driver(module, cwd, env_extra, timeout=900):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env["PYTHONPATH"] = str(REPO)
     env.update(env_extra)
     proc = subprocess.run(
@@ -116,8 +117,10 @@ def test_full_sweep_chain(tmp_path):
         [sys.executable, "-m", "scripts.evaluation.visualize_val_acc_by_mode",
          "--outputs_dir", "outputs/train",
          "--output", "assets/visualizations/val_accuracy_by_mode.png"],
-        cwd=tmp_path, env={**os.environ, "PYTHONPATH": str(REPO),
-                           "JAX_PLATFORMS": "cpu"},
+        cwd=tmp_path,
+        env={k: v for k, v in {**os.environ, "PYTHONPATH": str(REPO),
+                               "JAX_PLATFORMS": "cpu"}.items()
+             if k != "PALLAS_AXON_POOL_IPS"},
         capture_output=True, text=True, timeout=300,
     )
     assert proc.returncode == 0, proc.stderr

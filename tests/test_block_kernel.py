@@ -330,6 +330,48 @@ class TestChainKernel:
     ``_BlockParams`` declaration + param injection — to the XLA path.
     """
 
+    @pytest.mark.parametrize("B,L,D,H,N", [(4, 45, 96, 6, 2), (2, 145, 96, 6, 2)])
+    def test_stack_pad_once_route(self, B, L, D, H, N):
+        """run_block_stack's whole-stack lane-pad route (pad 96→128 once,
+        slice once) matches the XLA path — the production JEPA-predictor
+        stack layout."""
+        from ssrl_vit_mae_jepa_tpu.models.vit import run_block_stack, _BlockParams
+        import flax.linen as nn
+
+        class Stack(nn.Module):
+            attn_impl: str = "xla"
+
+            @nn.compact
+            def __call__(self, x):
+                mods = [_BlockParams(D, 4 * D, name=f"blocks_{i}")
+                        for i in range(N)]
+                return run_block_stack(x, mods, D, H, 4.0, jnp.float32,
+                                       self.attn_impl)
+
+        x = _rand((B, L, D), 0)
+        g = _rand((B, L, D), 7)
+        ref = Stack("xla")
+        params = ref.init(jax.random.PRNGKey(1), x)
+
+        def loss(mod):
+            return lambda p, x: jnp.sum(mod.apply(p, x) * g)
+
+        out_ref = ref.apply(params, x)
+        ref_g = jax.grad(loss(ref), argnums=(0, 1))(params, x)
+        padded = Stack("split_pad")
+        with pltpu.force_tpu_interpret_mode():
+            out = padded.apply(params, x)
+            pad_g = jax.grad(loss(padded), argnums=(0, 1))(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=5e-5)
+        for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(ref_g),
+            jax.tree_util.tree_leaves(pad_g),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=3e-4, rtol=1e-5,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
     @pytest.mark.parametrize("B,L,D,H,N", CHAIN_SHAPES)
     def test_stack_forward_backward(self, B, L, D, H, N):
         from ssrl_vit_mae_jepa_tpu.models.vit import run_block_stack, _BlockParams

@@ -20,6 +20,7 @@ def run_cli(module, *argv, env_extra=None, timeout=600):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env.update(env_extra or {})
     proc = subprocess.run(
         [sys.executable, "-m", module, *argv],

@@ -55,6 +55,7 @@ def test_two_process_training_matches_single_process(tmp_path, synthetic_stl10_d
     for pid in range(2):
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)  # worker sets its own 4-device flag
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         env.update({
             "PYTHONPATH": str(REPO),
             "SSRL_COORDINATOR": f"127.0.0.1:{port}",

@@ -40,6 +40,7 @@ def test_parity_cli_passes(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     proc = subprocess.run(
         [sys.executable, "-m", "scripts.evaluation.parity_check", str(ckpt),
          "--config", str(cfg_path), "--batch", "2"],
@@ -73,6 +74,7 @@ def test_parity_cli_checks_mae_decoder(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     proc = subprocess.run(
         [sys.executable, "-m", "scripts.evaluation.parity_check", str(ckpt),
          "--config", str(cfg_path), "--batch", "2"],
@@ -134,6 +136,7 @@ def test_parity_protocol_end_to_end(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env["SSRL_DATA_DIR"] = str(data)
     env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     proc = subprocess.run(
         [sys.executable, "-m", "scripts.evaluation.run_parity_protocol",
          str(weights), "--config", str(cfg_path), "--batch", "2"],
