@@ -43,20 +43,15 @@ def main():
     )
     args = parser.parse_args()
 
-    import os
-
     import jax
 
     # Honor a JAX_PLATFORMS=cpu override: the axon sitecustomize re-pins the
     # platform config at interpreter start, so the env var alone is inert —
     # without this the "CPU" bench smoke silently dials the TPU tunnel
     # (flaky 420 s subprocess timeouts whenever the relay is slow or down).
-    env_plat = os.environ.get("JAX_PLATFORMS")
-    if env_plat and env_plat not in ("axon", "axon,cpu"):
-        try:
-            jax.config.update("jax_platforms", env_plat)
-        except RuntimeError:
-            pass  # backends already initialized
+    from scripts.utils import setup_reproducibility
+
+    setup_reproducibility()
 
     from ssrl_vit_mae_jepa_tpu.config import DEFAULTS
     from ssrl_vit_mae_jepa_tpu.parallel.mesh import get_mesh

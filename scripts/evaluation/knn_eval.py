@@ -72,7 +72,10 @@ def random_encoder_features(cfg, pool, split, batch_size, data_dir):
 
     @jax.jit
     def feats_fn(images_u8):
-        tokens = vit.apply({"params": params}, eval_transform(images_u8))
+        # out_size must follow the config: the ViT was initialized for
+        # image_size (pos-embed length), not the 96px transform default
+        x = eval_transform(images_u8, out_size=h)
+        tokens = vit.apply({"params": params}, x)
         return tokens[:, 0] if pool == "cls" else tokens[:, 1:].mean(axis=1)
 
     ds = STL10(data_dir or DATA_DIR, split)

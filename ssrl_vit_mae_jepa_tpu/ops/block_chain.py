@@ -95,6 +95,27 @@ def _mlp_branch_fwd_body(x, w6, *, n, cast):
     return x + m
 
 
+def _chain_fwd_only_kernel(x_ref, *rest, H, d, L, scale, G, N, n):
+    # stash-free forward: the custom_vjp PRIMAL path — no-grad forwards
+    # (eval passes, probes, a forced-chain EMA target encoder) skip the
+    # 3N−1 (G·L, D) HBM stash writes the differentiated fwd rule needs
+    w_refs = rest[: 12 * N]
+    o_ref = rest[12 * N]
+    cast = x_ref.dtype
+    D = x_ref.shape[-1]
+    masks = _masks(H, d, D, cast)
+    masks_f = [m.astype(jnp.float32) for m in masks]
+    x = x_ref[...]
+    for k in range(N):
+        wk = [r[...] for r in w_refs[12 * k : 12 * k + 12]]
+        x, _ = _attn_branch_fwd_body(
+            x, wk[:6], masks=masks, masks_f=masks_f, scale=scale, L=L, G=G,
+            n=n, cast=cast,
+        )
+        x = _mlp_branch_fwd_body(x, wk[6:], n=n, cast=cast)
+    o_ref[...] = x
+
+
 def _chain_fwd_kernel(x_ref, *rest, H, d, L, scale, G, N, n):
     # rest: 12N weight refs · o_ref · N a_refs · N mid_refs · (N−1) xin_refs
     w_refs = rest[: 12 * N]
@@ -218,7 +239,9 @@ def _chain_geometry(x, num_heads, d_real):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _fused_block_chain(x, params_list, num_heads, d_real):
-    return _chain_fwd(x, params_list, num_heads, d_real)[0]
+    # primal (runs when NOT under jax.grad — custom_vjp invokes the fwd
+    # rule with residuals only when differentiated): stash-free kernel
+    return _chain_fwd_only(x, params_list, num_heads, d_real)
 
 
 def fused_block_chain(x, params_list, num_heads, d_real=None):
@@ -230,6 +253,32 @@ def fused_block_chain(x, params_list, num_heads, d_real=None):
     """
     return _fused_block_chain(x, tuple(tuple(p) for p in params_list),
                               num_heads, d_real)
+
+
+def _chain_fwd_only(x, params_list, num_heads, d_real):
+    """Stash-free forward (single output) for non-differentiated calls."""
+    N = len(params_list)
+    B, L, D, d, n, scale, G = _chain_geometry(x, num_heads, d_real)
+    kp = _prep_chain(params_list, x.dtype)
+    xspec = _flat_spec(G, L, D)
+    xo = pl.pallas_call(
+        functools.partial(
+            _chain_fwd_only_kernel, H=num_heads, d=d, L=L, scale=scale, G=G,
+            N=N, n=n,
+        ),
+        grid=(B // G,),
+        in_specs=[xspec] + [_full_spec(p.shape) for p in kp],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((B * L, D), x.dtype),
+        compiler_params=_CHAIN_COMPILER_PARAMS,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * B * L * (4 * D * D + 2 * D * kp[8].shape[-1]
+                                   + 2 * num_heads * L * d),
+            bytes_accessed=2 * B * L * D * x.dtype.itemsize,
+            transcendentals=N * B * (num_heads * L * L + L * kp[8].shape[-1]),
+        ),
+    )(x.reshape(B * L, D), *kp)
+    return xo.reshape(B, L, D)
 
 
 def _chain_fwd(x, params_list, num_heads, d_real):
@@ -306,8 +355,32 @@ _fused_block_chain.defvjp(
 
 
 @functools.lru_cache(maxsize=None)
-def _chain_ok(B, H, L, D, F, dtype_name, d_real):
-    return split_supported(B, H, L, D, F, dtype_name, d_real)
+def _chain_ok(B, H, L, D, F, N, dtype_name, d_real):
+    """Shape/VMEM guard for the chain kernel.
+
+    ``split_supported`` bounds ONE branch's live set; the chain kernel
+    additionally keeps ALL N blocks' weights + their fp32 gradient
+    accumulators resident and (in bwd) reads 3N−1 stash blocks per grid
+    step, so reusing the per-branch bound would understate the real live
+    set several-fold at depth — exactly the class of under-estimate the
+    split bound was added to fix. Bound everything against the 64 MB
+    ``vmem_limit_bytes`` the chain kernels compile with (48 MB budget
+    leaves scheduler headroom). Repo production shapes land ≈24-27 MB.
+    """
+    if not split_supported(B, H, L, D, F, dtype_name, d_real):
+        return False
+    G = _flat_group(B, L)
+    if G is None:
+        return False
+    rows = G * L
+    weights = 2 * N * (4 * D * D + 2 * D * F)   # bf16, all blocks resident
+    grads = 2 * weights                          # fp32 accumulators
+    stash = 2 * (3 * N - 1) * rows * D           # bwd stash inputs
+    Lp = -(-L // 128) * 128
+    attn_rows = rows * 11 * D + 4 * H * L * max(Lp, D)
+    mlp_rows = rows * (5 * D + 4 * F)
+    itm = 4 * max(attn_rows, mlp_rows)           # live branch working set
+    return itm + weights + grads + stash < 48 * 1024 * 1024
 
 
 def chain_impl(B: int, L: int, D: int, H: int, F: int, depth: int,
@@ -336,10 +409,10 @@ def chain_impl(B: int, L: int, D: int, H: int, F: int, depth: int,
     except TypeError:
         pass
     if D >= 128:
-        ok = D % H == 0 and _chain_ok(B, H, L, D, F, str(dtype), None)
+        ok = D % H == 0 and _chain_ok(B, H, L, D, F, depth, str(dtype), None)
         d_real = None
     else:
-        ok = D % H == 0 and _chain_ok(B, H, L, 128, F, str(dtype), D)
+        ok = D % H == 0 and _chain_ok(B, H, L, 128, F, depth, str(dtype), D)
         d_real = D
     if not ok:
         raise ValueError(

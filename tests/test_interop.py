@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
+from scripts.evaluation import parity_check as _pc
 from ssrl_vit_mae_jepa_tpu.models import classifier_from_config, mae_from_config, vit_from_config
 from ssrl_vit_mae_jepa_tpu.utils import torch_interop as ti
 from ssrl_vit_mae_jepa_tpu.utils.checkpoint import (
@@ -108,110 +109,19 @@ def make_mae_state(rng, img=IMG):
 
 
 def torch_vit_forward_features(state, x_nchw):
-    """Independent torch implementation of the timm forward_features contract."""
-    t = {k: torch.from_numpy(v) for k, v in state.items()}
-    x = torch.from_numpy(x_nchw)
-    B = x.shape[0]
-    x = torch.nn.functional.conv2d(
-        x, t["patch_embed.proj.weight"], t["patch_embed.proj.bias"], stride=P
-    )  # (B, D, g, g)
-    x = x.flatten(2).transpose(1, 2)  # (B, N, D) row-major patches
-    cls = t["cls_token"].expand(B, -1, -1)
-    x = torch.cat([cls, x], dim=1) + t["pos_embed"]
-
-    def ln(v, w, b):
-        return torch.nn.functional.layer_norm(v, (D,), w, b, eps=1e-6)
-
-    for i in range(DEPTH):
-        b = f"blocks.{i}."
-        y = ln(x, t[b + "norm1.weight"], t[b + "norm1.bias"])
-        qkv = y @ t[b + "attn.qkv.weight"].T + t[b + "attn.qkv.bias"]
-        L = y.shape[1]
-        hd = D // HEADS
-        qkv = qkv.reshape(B, L, 3, HEADS, hd).permute(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        att = torch.softmax(q @ k.transpose(-2, -1) / hd**0.5, dim=-1)
-        o = (att @ v).transpose(1, 2).reshape(B, L, D)
-        x = x + o @ t[b + "attn.proj.weight"].T + t[b + "attn.proj.bias"]
-        y = ln(x, t[b + "norm2.weight"], t[b + "norm2.bias"])
-        h = y @ t[b + "mlp.fc1.weight"].T + t[b + "mlp.fc1.bias"]
-        h = torch.nn.functional.gelu(h)  # exact
-        x = x + h @ t[b + "mlp.fc2.weight"].T + t[b + "mlp.fc2.bias"]
-    x = ln(x, t["norm.weight"], t["norm.bias"])
-    return x.numpy()
-
-
-def _torch_ln(v, w, b):
-    import torch as _t
-
-    return _t.nn.functional.layer_norm(v, (v.shape[-1],), w, b, eps=1e-6)
-
-
-def _torch_block(t, p, x, heads):
-    """One pre-LN timm block from raw state-dict tensors at prefix ``p``."""
-    B, L, D = x.shape
-    hd = D // heads
-    y = _torch_ln(x, t[p + "norm1.weight"], t[p + "norm1.bias"])
-    qkv = y @ t[p + "attn.qkv.weight"].T + t[p + "attn.qkv.bias"]
-    qkv = qkv.reshape(B, L, 3, heads, hd).permute(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    att = torch.softmax(q @ k.transpose(-2, -1) / hd**0.5, dim=-1)
-    o = (att @ v).transpose(1, 2).reshape(B, L, D)
-    x = x + o @ t[p + "attn.proj.weight"].T + t[p + "attn.proj.bias"]
-    y = _torch_ln(x, t[p + "norm2.weight"], t[p + "norm2.bias"])
-    h = torch.nn.functional.gelu(y @ t[p + "mlp.fc1.weight"].T + t[p + "mlp.fc1.bias"])
-    return x + h @ t[p + "mlp.fc2.weight"].T + t[p + "mlp.fc2.bias"]
+    """Independent torch implementation of the timm forward_features contract
+    (single source: scripts/evaluation/parity_check.py's golden)."""
+    return _pc.torch_forward_features(state, x_nchw, DEPTH, HEADS, P)
 
 
 def torch_mae_forward(state, x_nchw, idx_keep, idx_mask, *, depth=DEPTH,
                       heads=HEADS, dec_depth=1, dec_heads=4, patch=P):
-    """Independent torch implementation of the FULL reference MAE forward
-    (reference ``src/models/mae.py:77-94``): lightly masked encode →
-    MAEDecoderTIMM embed → mask-token scatter at idx_keep → pos-embed →
-    decoder blocks → norm → gather idx_mask → pixel head; pixel targets
-    from CHW-within-patch patchify at ``clamp(idx_mask − 1, 0)`` (quirk Q7).
-    Returns (pred, target) as numpy. Built straight from a reference-named
-    state dict — no code shared with the flax model under test."""
-    t = {k: torch.from_numpy(np.asarray(v, np.float32)) for k, v in state.items()}
-    x = torch.from_numpy(x_nchw)
-    ik = torch.from_numpy(np.array(idx_keep)).long()
-    im = torch.from_numpy(np.array(idx_mask)).long()
-    B = x.shape[0]
-
-    e = "encoder.vit."
-    tok = torch.nn.functional.conv2d(
-        x, t[e + "patch_embed.proj.weight"], t[e + "patch_embed.proj.bias"],
-        stride=patch,
-    ).flatten(2).transpose(1, 2)
-    tok = torch.cat([t[e + "cls_token"].expand(B, -1, -1), tok], dim=1)
-    tok = tok + t[e + "pos_embed"]
-    # lightly masked encode: pos-embed FIRST, then gather only kept tokens
-    tok = torch.gather(tok, 1, ik.unsqueeze(-1).expand(-1, -1, tok.shape[-1]))
-    for i in range(depth):
-        tok = _torch_block(t, f"{e}blocks.{i}.", tok, heads)
-    enc = _torch_ln(tok, t[e + "norm.weight"], t[e + "norm.bias"])
-
-    d = "decoder."
-    dd = t[d + "mask_token"].shape[-1]
-    xd = enc @ t[d + "decoder_embed.weight"].T + t[d + "decoder_embed.bias"]
-    L = t[d + "decoder_pos_embed"].shape[1]
-    full = t[d + "mask_token"].expand(B, L, dd).clone()
-    full.scatter_(1, ik.unsqueeze(-1).expand(-1, -1, dd), xd)
-    full = full + t[d + "decoder_pos_embed"]
-    for i in range(dec_depth):
-        full = _torch_block(t, f"{d}decoder_blocks.{i}.", full, dec_heads)
-    full = _torch_ln(full, t[d + "decoder_norm.weight"], t[d + "decoder_norm.bias"])
-    sel = torch.gather(full, 1, im.unsqueeze(-1).expand(-1, -1, dd))
-    pred = sel @ t[d + "decoder_pred.weight"].T + t[d + "decoder_pred.bias"]
-
-    gh = x.shape[-1] // patch
-    patches = x.reshape(B, 3, gh, patch, gh, patch).permute(
-        0, 2, 4, 1, 3, 5).reshape(B, gh * gh, patch * patch * 3)
-    tgt = torch.gather(
-        patches, 1,
-        (im - 1).clamp(min=0).unsqueeze(-1).expand(-1, -1, patches.shape[-1]),
+    """Golden FULL MAE forward (single source: parity_check.py) with this
+    module's tiny-model defaults."""
+    return _pc.torch_mae_forward(
+        state, x_nchw, idx_keep, idx_mask, depth=depth, heads=heads,
+        dec_depth=dec_depth, dec_heads=dec_heads, patch=patch,
     )
-    return pred.numpy(), tgt.numpy()
 
 
 class TestConverter:

@@ -126,3 +126,22 @@ class TestValAccByMode:
             {"callbacks": {"best_model_score": 0.731}},
         )
         assert best_score_from_checkpoint(p) == pytest.approx(0.731)
+
+
+class TestKnnEval:
+    def test_random_encoder_respects_config_image_size(self, synthetic_stl10_dir):
+        """random_encoder_features must transform to the CONFIG's image_size:
+        with image_size != 96 the ViT's pos-embed length only matches when
+        eval_transform resizes to the configured size (regression: the
+        transform was hardcoded to its 96px default and crashed)."""
+        from scripts.evaluation.knn_eval import random_encoder_features
+
+        cfg = _deep_merge(DEFAULTS, {"model": {
+            "general": {"image_size": 32, "patch_size": 8, "in_chans": 3},
+            "encoder": {"embed_dim": 48, "depth": 1, "num_heads": 4},
+        }})
+        feats, labels = random_encoder_features(
+            cfg, "cls", "test", batch_size=16, data_dir=synthetic_stl10_dir
+        )
+        assert feats.shape == (40, 48)
+        assert labels.shape == (40,)
