@@ -135,7 +135,13 @@ def main():
 
         lf, gf = jax.jit(jax.value_and_grad(chain_loss))(params, x, g)
         lr, gr = jax.jit(jax.value_and_grad(ref_loss))(params, x, g)
-        rel = abs(float(lf) - float(lr)) / max(1.0, abs(float(lr)))
+        # no-grad forward: the custom_vjp PRIMAL runs the stash-free
+        # fwd-only chain kernel (eval passes / probes through forced chain)
+        lfwd = float(jax.jit(chain_loss)(params, x, g))
+        fwd_rel = abs(lfwd - float(lr)) / max(1.0, abs(float(lr)))
+        rel = max(
+            abs(float(lf) - float(lr)) / max(1.0, abs(float(lr))), fwd_rel
+        )
         gerr = max(
             float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
                   / (jnp.max(jnp.abs(b.astype(jnp.float32))) + 1e-6))
