@@ -440,3 +440,23 @@ class TestChainKernel:
             chain_impl(64, 145, 100, 6, 400, 2, jnp.bfloat16, "chain")  # D % H
         with pytest.raises(ValueError):
             chain_impl(64, 145, 144, 6, 576, 1, jnp.bfloat16, "chain")  # depth
+
+
+class TestChainPolicy:
+    def test_chain_vmem_bound_scales_with_depth(self):
+        """chain_impl's guard must size the live set with ALL N resident
+        weight sets + fp32 grad accumulators + 3N−1 stash blocks — not the
+        single-branch split bound (which would pass depths that blow the
+        64 MB kernel VMEM limit on hardware)."""
+        import jax.numpy as jnp
+
+        from ssrl_vit_mae_jepa_tpu.ops.block_chain import chain_impl
+
+        # production stacks fit
+        assert chain_impl(768, 145, 192, 6, 768, 2, jnp.bfloat16, "chain")[0]
+        assert chain_impl(2000, 145, 144, 6, 576, 4, jnp.bfloat16, "chain")[0]
+        assert chain_impl(64, 145, 96, 6, 384, 2, jnp.bfloat16, "chain") == (True, 96)
+        # same per-branch shape at depth 12: ~10.6 MB weights + 21 MB fp32
+        # accumulators + ~15.6 MB stash blow the budget -> must refuse
+        with pytest.raises(ValueError):
+            chain_impl(768, 145, 192, 6, 768, 12, jnp.bfloat16, "chain")
