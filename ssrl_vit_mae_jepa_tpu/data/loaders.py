@@ -30,6 +30,33 @@ ROOT_DIR = Path(__file__).resolve().parents[2]
 DATA_DIR = Path(os.environ.get("SSRL_DATA_DIR", ROOT_DIR / "data"))
 
 
+def _shard_for_process(indices: np.ndarray, batch_size: int):
+    """Multihost: per-process index shard + per-process batch size.
+
+    The config batch size is the GLOBAL batch. Under ``jax.process_count()
+    > 1`` the prefetcher assembles global arrays from process-local data
+    (``parallel.multihost.global_batch``), so each process must feed a
+    disjoint index shard at ``batch_size // process_count`` rows — without
+    this every process would feed the SAME full batch and training would
+    silently run on duplicated data at an inflated effective batch.
+    Single-process is the identity. Shards are contiguous and fixed per
+    run (each process re-shuffles its own shard per epoch).
+    """
+    import jax
+
+    pc = jax.process_count()
+    if pc == 1:
+        return indices, batch_size
+    from ssrl_vit_mae_jepa_tpu.parallel.multihost import process_local_indices
+
+    if batch_size % pc:
+        raise ValueError(
+            f"global batch_size {batch_size} not divisible by "
+            f"process_count {pc}"
+        )
+    return process_local_indices(indices), batch_size // pc
+
+
 def get_pretrain_dataloaders(
     cfg: dict, data_dir: str | Path | None = None
 ) -> Tuple[HostLoader, HostLoader]:
@@ -43,8 +70,10 @@ def get_pretrain_dataloaders(
         pre_cfg.get("val_split", 0.1),
         seed,
     )
-    batch_size = pre_cfg.get("batch_size", 512)
+    global_bs = pre_cfg.get("batch_size", 512)
     depth = max(2, pre_cfg.get("num_workers", 4) // 2)
+    train_idx, batch_size = _shard_for_process(train_idx, global_bs)
+    val_idx, _ = _shard_for_process(val_idx, global_bs)
     train = HostLoader(ds, train_idx, batch_size, shuffle=True, seed=seed)
     val = HostLoader(ds, val_idx, batch_size, shuffle=False, seed=seed)
     train.prefetch_depth = val.prefetch_depth = depth
@@ -70,8 +99,10 @@ def get_train_dataloaders(
         f"⚙️ Using {samples_per_class} samples/class → {len(train_idx)} train, "
         f"{len(val_idx)} val"
     )
-    batch_size = train_cfg.get("batch_size", 256)
+    global_bs = train_cfg.get("batch_size", 256)
     depth = max(2, train_cfg.get("num_workers", 4) // 2)
+    train_idx, batch_size = _shard_for_process(train_idx, global_bs)
+    val_idx, _ = _shard_for_process(val_idx, global_bs)
     train = HostLoader(ds, train_idx, batch_size, shuffle=True, seed=seed)
     val = HostLoader(ds, val_idx, batch_size, shuffle=False, seed=seed)
     train.prefetch_depth = val.prefetch_depth = depth
@@ -84,4 +115,5 @@ def get_test_dataloader(cfg: dict, data_dir: str | Path | None = None) -> HostLo
     batch_size = test_cfg.get("batch_size", 256)
     ds = STL10(data_dir or DATA_DIR, split="test")
     print(f"🧪 Loaded STL-10 test split: {len(ds)} samples")
-    return HostLoader(ds, np.arange(len(ds)), batch_size, shuffle=False)
+    idx, batch_size = _shard_for_process(np.arange(len(ds)), batch_size)
+    return HostLoader(ds, idx, batch_size, shuffle=False)

@@ -107,21 +107,54 @@ def device_prefetch(
             for k, v in batch.items()
         }
 
+    stop = threading.Event()
+
     def worker():
         try:
             for batch in iterator:
-                q.put(put(batch))
+                item = put(batch)
+                # bounded put: if the consumer abandons the generator the
+                # thread must exit instead of pinning `depth`+1 device
+                # batches for the process lifetime
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except Exception as e:  # pragma: no cover - propagated below
             err.append(e)
         finally:
-            q.put(_END)
+            while True:
+                try:
+                    q.put_nowait(_END)
+                    break
+                except queue.Full:
+                    if stop.is_set():
+                        break
+                    try:
+                        q.get_nowait()  # make room for the sentinel
+                    except queue.Empty:
+                        pass
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # consumer done or abandoned (close()/GC/exception): release the
+        # worker and drop its queued batches
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -98,10 +98,14 @@ class Trainer:
         init_params_override=None,
     ) -> Dict[str, float]:
         n_data = self.mesh.shape.get("data", 1)
-        if train_loader.batch_size % n_data:
+        # loader batch sizes are PER-PROCESS; the mesh's data axis spans all
+        # processes, so the divisibility contract is on the global batch
+        global_bs = train_loader.batch_size * jax.process_count()
+        if global_bs % n_data:
             raise ValueError(
-                f"batch_size {train_loader.batch_size} not divisible by "
-                f"data-parallel size {n_data}"
+                f"global batch_size {global_bs} "
+                f"({train_loader.batch_size} × {jax.process_count()} "
+                f"processes) not divisible by data-parallel size {n_data}"
             )
         if self.state is None:
             self.init_state(init_params_override)
@@ -118,7 +122,6 @@ class Trainer:
             t0 = time.time()
             sums = None
             n_steps = 0
-            n_images = 0
             for batch in device_prefetch(
                 train_loader.epoch(epoch),
                 batch_shardings,
@@ -135,7 +138,6 @@ class Trainer:
                     )
                 )
                 n_steps += 1
-                n_images += batch["image"].shape[0]
                 self.global_step += 1
                 # step-granularity logging (reference logs every 2 steps,
                 # pretrain_mae.py:122). Off by default: each record costs a
@@ -161,6 +163,15 @@ class Trainer:
                     self.evaluate(val_loader, prefix="val", epoch=epoch, ctx=ctx)
                 )
             metrics["epoch_time_s"] = dt
+            # real examples only — the last batch is padded to full size
+            # with weight-0 wrap-around rows (HostLoader.epoch), which must
+            # not inflate the throughput headline; under drop_last the tail
+            # examples are not consumed at all
+            n_images = (
+                n_steps * train_loader.batch_size
+                if getattr(train_loader, "drop_last", False)
+                else train_loader.num_examples
+            ) * jax.process_count()  # loaders hold per-process shards
             metrics["images_per_s"] = n_images / max(dt, 1e-9)
             self.logger.log(metrics, step=self.global_step, epoch=epoch)
             shown = {
@@ -184,6 +195,7 @@ class Trainer:
                     weights_only_state={"params": self.state.params},
                 )
             last_metrics = metrics
+            self.logger.flush()  # TB buffers ~2 min; flush per epoch
         return last_metrics
 
     # ------------------------------------------------------------------
@@ -194,13 +206,19 @@ class Trainer:
         epoch: int = 0,
         ctx=None,
         params=None,
+        extra=None,
     ) -> Dict[str, float]:
         if ctx is None:
             ctx = self.task.epoch_context(epoch)
-        extra = None
         if params is None:
             params = self.state.params
             extra = self.state.extra
+        elif extra is None:
+            # explicit params without task-extra state (e.g. evaluating a
+            # params-only JEPA checkpoint): derive the extra the same way
+            # training starts it (JEPA: EMA target := the given encoder);
+            # None for tasks without extra state
+            extra = self.task.init_extra(params)
         batch_shardings = self._batch_shardings()
         sums = None
         base_rng = jax.random.PRNGKey(EVAL_RNG_SEED)
@@ -214,14 +232,21 @@ class Trainer:
             rng = jax.random.fold_in(base_rng, epoch * 100003 + i)
             s = self.task.eval_step(params, batch, rng, ctx, extra=extra)
             sums = s if sums is None else jax.tree.map(lambda a, b: a + b, sums, s)
-        sums = {} if sums is None else jax.device_get(sums)
+        if sums is None:
+            # an empty loader must fail loudly: epoch_metrics_from_sums({})
+            # would report a perfect 0.0 loss/acc for a pipeline bug
+            raise ValueError(
+                f"evaluate() got an empty loader (prefix={prefix!r}): "
+                "no batches were produced — check data_dir/fraction/split"
+            )
+        sums = jax.device_get(sums)
         return self.task.epoch_metrics_from_sums(sums, prefix)
 
-    def test(self, loader: HostLoader, params=None) -> Dict[str, float]:
+    def test(self, loader: HostLoader, params=None, extra=None) -> Dict[str, float]:
         """Reference ``trainer.test`` equivalent → {"test_loss", "test_acc"}."""
         if params is None and self.state is None:
             self.init_state()
-        return self.evaluate(loader, prefix="test", params=params)
+        return self.evaluate(loader, prefix="test", params=params, extra=extra)
 
     # ------------------------------------------------------------------
     def save(self, path: str | Path, meta: Optional[Dict[str, Any]] = None):

@@ -155,8 +155,32 @@ class CheckpointCallbacks:
         meta_base: Dict[str, Any],
         weights_only_state=None,
     ) -> Dict[str, Any]:
-        """Apply the checkpoint policies; returns {saved: [paths...]}."""
+        """Apply the checkpoint policies; returns {saved: [paths...]}.
+
+        The device state is materialized to host numpy ONCE and reused by
+        every policy write: best+last on an improved epoch would otherwise
+        fetch the full params+optimizer tree twice — over the dev relay
+        tunnel (~6 MB/s) that doubles a transfer that already rivals the
+        epoch time.
+        """
+        import jax
+
         saved = []
+        device_state = state
+        state = jax_to_numpy(state)
+        if weights_only_state is not None:
+            # its leaves alias state's (trainer passes {"params": state.params})
+            # — reuse the host copies by identity instead of re-fetching
+            host_by_id = {
+                id(d): h
+                for d, h in zip(
+                    jax.tree.leaves(device_state), jax.tree.leaves(state)
+                )
+            }
+            weights_only_state = jax.tree.map(
+                lambda x: host_by_id.get(id(x), np.asarray(x)),
+                weights_only_state,
+            )
         score = metrics.get(self.monitor)
         meta = dict(meta_base)
         meta.update(

@@ -42,6 +42,12 @@ class MetricsLogger:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, float(v), global_step=int(step))
 
+    def flush(self):
+        """Push buffered TB events to disk (SummaryWriter buffers ~2 min;
+        a crash right after an epoch must not lose its scalars)."""
+        if self._tb is not None:
+            self._tb.flush()
+
     def close(self):
         self._jsonl.close()
         if self._tb is not None:

@@ -132,16 +132,7 @@ def timm_vit_to_params(
             k[len("vit."):] if k.startswith("vit.") else k: v
             for k, v in state.items()
         }
-    entries = [
-        ("cls_token", ["cls_token"], None),
-        ("pos_embed", ["pos_embed"], None),
-        ("patch_embed.proj.weight", ["patch_embed", "kernel"], "patch"),
-        ("patch_embed.proj.bias", ["patch_embed", "bias"], None),
-        ("norm.weight", ["norm", "scale"], None),
-        ("norm.bias", ["norm", "bias"], None),
-    ]
-    for i in range(depth):
-        entries += _block_entries(i, "blocks", f"blocks_{i}")
+    entries = _vit_entries(depth)  # single table shared with the export dir.
     tree: dict = {}
     used: set = set()
     missing = _apply_entries(state, entries, tree, used)
@@ -153,18 +144,7 @@ def lightly_decoder_to_params(
     state: Dict[str, np.ndarray], depth: int
 ) -> Tuple[dict, dict]:
     """lightly MAEDecoderTIMM state dict → flax MAEDecoder params."""
-    entries = [
-        ("decoder_embed.weight", ["decoder_embed", "kernel"], "T"),
-        ("decoder_embed.bias", ["decoder_embed", "bias"], None),
-        ("mask_token", ["mask_token"], None),
-        ("decoder_pos_embed", ["decoder_pos_embed"], None),
-        ("decoder_norm.weight", ["decoder_norm", "scale"], None),
-        ("decoder_norm.bias", ["decoder_norm", "bias"], None),
-        ("decoder_pred.weight", ["decoder_pred", "kernel"], "T"),
-        ("decoder_pred.bias", ["decoder_pred", "bias"], None),
-    ]
-    for i in range(depth):
-        entries += _block_entries(i, "decoder_blocks", f"decoder_blocks_{i}")
+    entries = _decoder_entries(depth)  # single table shared with export
     tree: dict = {}
     used: set = set()
     missing = _apply_entries(state, entries, tree, used)

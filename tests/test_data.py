@@ -1,5 +1,6 @@
 """Tests for the STL-10 reader, split semantics, and host pipeline."""
 
+import pytest
 import numpy as np
 
 from ssrl_vit_mae_jepa_tpu.data.pipeline import HostLoader, device_prefetch
@@ -130,3 +131,41 @@ class TestLoaderFactories:
         assert tr2.num_examples <= 40  # ≤ 4/class × 10 (synthetic may have fewer)
         te = get_test_dataloader(cfg, data_dir=synthetic_stl10_dir)
         assert te.num_examples == 40
+
+
+class TestMultihostSharding:
+    def test_factories_shard_indices_per_process(self, synthetic_stl10_dir,
+                                                 monkeypatch):
+        """Under process_count>1 the factories must hand each process a
+        DISJOINT index shard at batch_size // process_count — regression:
+        every process fed the same full batch (duplicated data at an
+        inflated effective batch)."""
+        import jax
+
+        from ssrl_vit_mae_jepa_tpu.data.loaders import get_pretrain_dataloaders
+
+        cfg = {"pretrain": {"batch_size": 16, "data_fraction": 1.0,
+                            "val_split": 0.25},
+               "seed": 73}
+        shards = []
+        for pi in range(2):
+            monkeypatch.setattr(jax, "process_count", lambda: 2)
+            monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+            train, val = get_pretrain_dataloaders(cfg, synthetic_stl10_dir)
+            assert train.batch_size == 8  # 16 global / 2 processes
+            shards.append(np.asarray(train.indices))
+        monkeypatch.undo()
+        assert not set(shards[0]) & set(shards[1])  # disjoint
+        full_train, _ = get_pretrain_dataloaders(cfg, synthetic_stl10_dir)
+        assert set(shards[0]) | set(shards[1]) == set(full_train.indices)
+
+    def test_indivisible_global_batch_rejected(self, synthetic_stl10_dir,
+                                               monkeypatch):
+        import jax
+
+        from ssrl_vit_mae_jepa_tpu.data.loaders import get_test_dataloader
+
+        monkeypatch.setattr(jax, "process_count", lambda: 3)
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        with pytest.raises(ValueError, match="not divisible"):
+            get_test_dataloader({"test": {"batch_size": 16}}, synthetic_stl10_dir)

@@ -228,3 +228,33 @@ class TestJepaTask:
         enc, report = encoder_params_from_checkpoint(p, depth=2)
         assert "cls_token" in enc and "blocks_1" in enc
         assert not report["missing"]
+
+
+class TestJepaEvalWithExplicitParams:
+    def test_trainer_test_with_params_only(self, synthetic_stl10_dir, tmp_path):
+        """trainer.test(loader, params=...) must work for JEPA (the EMA
+        target defaults to a copy of the given encoder via init_extra) —
+        regression: extra stayed None and flax crashed on the target
+        encoder apply."""
+        from ssrl_vit_mae_jepa_tpu.training.trainer import Trainer
+
+        task = JEPATask(SMALL_MODEL, SMALL_JEPA, dtype=jnp.float32)
+        trainer = Trainer(task, max_epochs=1, output_dir=tmp_path,
+                          enable_checkpointing=False)
+        state = trainer.init_state()
+        ds = STL10(synthetic_stl10_dir, "unlabeled")
+        loader = HostLoader(ds, np.arange(32), 16, shuffle=False)
+        metrics = trainer.test(loader, params=jax.device_get(state.params))
+        assert np.isfinite(metrics["test_loss"])
+
+    def test_evaluate_empty_loader_raises(self, synthetic_stl10_dir, tmp_path):
+        from ssrl_vit_mae_jepa_tpu.training.trainer import Trainer
+
+        task = JEPATask(SMALL_MODEL, SMALL_JEPA, dtype=jnp.float32)
+        trainer = Trainer(task, max_epochs=1, output_dir=tmp_path,
+                          enable_checkpointing=False)
+        trainer.init_state()
+        ds = STL10(synthetic_stl10_dir, "unlabeled")
+        empty = HostLoader(ds, np.arange(0), 16, shuffle=False)
+        with pytest.raises(ValueError, match="empty loader"):
+            trainer.evaluate(empty)
