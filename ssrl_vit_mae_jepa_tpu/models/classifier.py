@@ -64,8 +64,11 @@ class ViTClassifier(nn.Module):
         feats = self.encoder(images)  # (B, L, D)
         if self.pool == "cls":
             return feats[:, 0]
-        # mean over all tokens INCLUDING CLS (reference src/models/classifier.py:55)
-        return feats.mean(axis=1)
+        if self.pool == "mean":
+            # mean over all tokens INCLUDING CLS (reference
+            # src/models/classifier.py:55)
+            return feats.mean(axis=1)
+        raise ValueError(f"unknown pool {self.pool!r} (expected cls|mean)")
 
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
         """(B, H, W, C) → (B, num_classes) logits (fp32)."""

@@ -24,6 +24,23 @@ import jax
 import jax.numpy as jnp
 
 
+#: every attn_impl string any layer understands. A typo'd impl must raise,
+#: not silently behave as "auto" (e.g. forcing "XLA" for a parity check and
+#: silently getting the kernel under test instead).
+KNOWN_IMPLS = frozenset(
+    {"auto", "xla", "pallas", "packed", "stacked", "block", "split",
+     "split_pad", "chain"}
+)
+
+
+def validate_impl(impl: str) -> str:
+    if impl not in KNOWN_IMPLS:
+        raise ValueError(
+            f"unknown attn_impl {impl!r}; expected one of {sorted(KNOWN_IMPLS)}"
+        )
+    return impl
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"

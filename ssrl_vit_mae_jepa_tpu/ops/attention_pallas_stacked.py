@@ -207,7 +207,12 @@ def _group(B: int, D: int = 128, env_var: str = "SSRL_ATTN_GROUP") -> int:
         return 1
     override = os.environ.get(env_var)
     if override:
-        return int(override)
+        g = int(override)
+        # invalid override (non-dividing G would silently drop the batch
+        # tail via grid=B//G): ignore and fall back to the auto choice —
+        # consistent with block_pallas._group/_flat_group
+        if g > 0 and B % g == 0:
+            return g
     for g in (4, 2):
         if B % g == 0:
             return g

@@ -44,6 +44,8 @@ from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_stacked import (
     _masks,
 )
 from ssrl_vit_mae_jepa_tpu.ops.block_pallas import (
+    _attn_branch_fwd_body,
+    _mlp_branch_fwd_body,
     _dot,
     _dot_nt,
     _dot_tn,
@@ -62,37 +64,6 @@ from ssrl_vit_mae_jepa_tpu.ops.block_pallas import (
 # weight-grad accumulators and the per-step stash blocks; 64 MB leaves 2×
 # headroom over the measured decoder live set inside v5e's 128 MB VMEM.
 _CHAIN_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-
-
-def _attn_branch_fwd_body(x, w6, *, masks, masks_f, scale, L, G, n, cast):
-    """Flat attn branch: x (G·L, D) → (x_out, a). Weights already prepped."""
-    s1, b1, wqkv, bqkv, wp, bp = w6
-    D = x.shape[-1]
-    y1, _, _ = _ln_fwd(x, s1, b1, n)
-    y1 = y1.astype(cast)
-    qkv = (_dot(y1, wqkv) + bqkv).astype(cast)
-    a_parts = []
-    for g in range(G):
-        rows = slice(g * L, (g + 1) * L)
-        a_parts.append(
-            _attn_fwd_one(
-                qkv[rows, :D], qkv[rows, D : 2 * D], qkv[rows, 2 * D :],
-                masks=masks, masks_f=masks_f, scale=scale, L=L,
-            ).astype(cast)
-        )
-    a = jnp.concatenate(a_parts, axis=0) if G > 1 else a_parts[0]
-    p = (_dot(a, wp) + bp).astype(cast)
-    return x + p, a
-
-
-def _mlp_branch_fwd_body(x, w6, *, n, cast):
-    s2, b2, w1, b1f, w2, b2f = w6
-    y2, _, _ = _ln_fwd(x, s2, b2, n)
-    y2 = y2.astype(cast)
-    z = (_dot(y2, w1) + b1f).astype(cast)
-    h = _gelu_fwd(z.astype(jnp.float32)).astype(cast)
-    m = (_dot(h, w2) + b2f).astype(cast)
-    return x + m
 
 
 def _chain_fwd_only_kernel(x_ref, *rest, H, d, L, scale, G, N, n):
@@ -400,6 +371,9 @@ def chain_impl(B: int, L: int, D: int, H: int, F: int, depth: int,
     loss/augment/patchify path, not at block boundaries. Measured lever,
     rejected — see docs/PERFORMANCE.md round-3 table.
     """
+    from ssrl_vit_mae_jepa_tpu.ops.attention import validate_impl
+
+    validate_impl(impl)
     if impl != "chain" or depth < 2:
         if impl == "chain" and depth < 2:
             raise ValueError("chain kernel needs depth >= 2")

@@ -166,9 +166,18 @@ def _ln_fwd(x, s, b, n=None):
         xc = xf - mu
         var = jnp.mean(xc * xc, axis=-1, keepdims=True)
     else:
+        D = xf.shape[-1]
         mu = jnp.sum(xf, axis=-1, keepdims=True) * (1.0 / n)
-        var = jnp.sum(xf * xf, axis=-1, keepdims=True) * (1.0 / n) - mu * mu
         xc = xf - mu
+        # two-pass variance (the one-pass E[x²]−mu² form cancels
+        # catastrophically for near-constant rows with |mu| ≳ 3, where the
+        # fp32 error exceeds var+eps and rsqrt goes NaN). The pad cols'
+        # xc is −mu, not 0 — mask them out of the sum of squares so the
+        # variance is a true sum of squared deviations (never negative)
+        real = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, D), 1) < n
+        ).astype(jnp.float32)
+        var = jnp.sum(xc * xc * real, axis=-1, keepdims=True) * (1.0 / n)
     inv = jax.lax.rsqrt(var + _EPS)
     xhat = xc * inv
     return xhat * s + b, xhat, inv
@@ -483,6 +492,40 @@ fused_block.defvjp(_fb_vjp_fwd, _fb_vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _attn_branch_fwd_body(x, w6, *, masks, masks_f, scale, L, G, n, cast):
+    """Flat attn branch: x (G·L, D) → (x_out, a). SINGLE source of the
+    forward math for the fwd/fwd-only/chain kernels — a numerics or
+    fault-class fix here reaches all of them. Weights already prepped."""
+    s1, b1, wqkv, bqkv, wp, bp = w6
+    D = x.shape[-1]
+    y1, _, _ = _ln_fwd(x, s1, b1, n)
+    y1 = y1.astype(cast)
+    qkv = (_dot(y1, wqkv) + bqkv).astype(cast)  # (G·L, 3D)
+    a_parts = []
+    for g in range(G):
+        rows = slice(g * L, (g + 1) * L)
+        a_parts.append(
+            _attn_fwd_one(
+                qkv[rows, :D], qkv[rows, D : 2 * D], qkv[rows, 2 * D :],
+                masks=masks, masks_f=masks_f, scale=scale, L=L,
+            ).astype(cast)
+        )
+    a = jnp.concatenate(a_parts, axis=0) if G > 1 else a_parts[0]
+    p = (_dot(a, wp) + bp).astype(cast)
+    return x + p, a
+
+
+def _mlp_branch_fwd_body(x, w6, *, n, cast):
+    """Flat MLP branch: x (G·L, D) → x_out (shared with the chain kernel)."""
+    s2, b2, w1, b1f, w2, b2f = w6
+    y2, _, _ = _ln_fwd(x, s2, b2, n)
+    y2 = y2.astype(cast)
+    z = (_dot(y2, w1) + b1f).astype(cast)  # bf16 z, like the flax path
+    h = _gelu_fwd(z.astype(jnp.float32)).astype(cast)
+    m = (_dot(h, w2) + b2f).astype(cast)
+    return x + m
+
+
 def _attn_branch_fwd_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, o_ref, a_ref,
                             *, H, d, L, scale, G, n=None):
     # flat (G·L, D) block: LN/qkv/proj run as ONE GEMM over all G images
@@ -492,52 +535,32 @@ def _attn_branch_fwd_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, o_ref, a_ref,
     D = x_ref.shape[-1]
     cast = x_ref.dtype
     masks = _masks(H, d, D, cast)
-    masks_f = [m.astype(jnp.float32) for m in masks]
-    x = x_ref[...]
-    y1, _, _ = _ln_fwd(x, s1[...], b1[...], n)
-    y1 = y1.astype(cast)
-    qkv = (_dot(y1, wqkv[...]) + bqkv[...]).astype(cast)  # (G·L, 3D)
-    a_parts = []
-    for g in range(G):
-        rows = slice(g * L, (g + 1) * L)
-        a_parts.append(
-            _attn_fwd_one(
-                qkv[rows, :D], qkv[rows, D : 2 * D], qkv[rows, 2 * D :],
-                masks=masks, masks_f=masks_f, scale=scale, L=L,
-            ).astype(cast)
-        )
-    a = jnp.concatenate(a_parts, axis=0) if G > 1 else a_parts[0]
+    w6 = (s1[...], b1[...], wqkv[...], bqkv[...], wp[...], bp[...])
+    out, a = _attn_branch_fwd_body(
+        x_ref[...], w6, masks=masks,
+        masks_f=[m.astype(jnp.float32) for m in masks],
+        scale=scale, L=L, G=G, n=n, cast=cast,
+    )
     a_ref[...] = a
-    p = (_dot(a, wp[...]) + bp[...]).astype(cast)
-    o_ref[...] = x + p
+    o_ref[...] = out
 
 
 def _attn_branch_fwd_only_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, o_ref,
                                  *, H, d, L, scale, G, n=None):
-    # stash-free forward: identical math to _attn_branch_fwd_kernel but no
-    # ``a`` output — the primal (non-differentiated) path of the custom_vjp
-    # uses this, so no-grad forwards (JEPA's EMA target encoder, every
-    # eval/val pass, probes) skip a (B·L, D) HBM write per attn branch
+    # stash-free forward: identical math to _attn_branch_fwd_kernel (same
+    # body) but no ``a`` output — the primal (non-differentiated) path of
+    # the custom_vjp uses this, so no-grad forwards (JEPA's EMA target
+    # encoder, every eval/val pass, probes) skip a (B·L, D) HBM write
     D = x_ref.shape[-1]
     cast = x_ref.dtype
     masks = _masks(H, d, D, cast)
-    masks_f = [m.astype(jnp.float32) for m in masks]
-    x = x_ref[...]
-    y1, _, _ = _ln_fwd(x, s1[...], b1[...], n)
-    y1 = y1.astype(cast)
-    qkv = (_dot(y1, wqkv[...]) + bqkv[...]).astype(cast)
-    a_parts = []
-    for g in range(G):
-        rows = slice(g * L, (g + 1) * L)
-        a_parts.append(
-            _attn_fwd_one(
-                qkv[rows, :D], qkv[rows, D : 2 * D], qkv[rows, 2 * D :],
-                masks=masks, masks_f=masks_f, scale=scale, L=L,
-            ).astype(cast)
-        )
-    a = jnp.concatenate(a_parts, axis=0) if G > 1 else a_parts[0]
-    p = (_dot(a, wp[...]) + bp[...]).astype(cast)
-    o_ref[...] = x + p
+    w6 = (s1[...], b1[...], wqkv[...], bqkv[...], wp[...], bp[...])
+    out, _ = _attn_branch_fwd_body(
+        x_ref[...], w6, masks=masks,
+        masks_f=[m.astype(jnp.float32) for m in masks],
+        scale=scale, L=L, G=G, n=n, cast=cast,
+    )
+    o_ref[...] = out
 
 
 def _attn_branch_bwd_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, a_ref, g_ref,
@@ -584,14 +607,8 @@ def _attn_branch_bwd_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, a_ref, g_ref,
 
 
 def _mlp_branch_fwd_kernel(x_ref, s2, b2, w1, b1f, w2, b2f, o_ref, *, n=None):
-    cast = x_ref.dtype
-    x = x_ref[...]
-    y2, _, _ = _ln_fwd(x, s2[...], b2[...], n)
-    y2 = y2.astype(cast)
-    z = (_dot(y2, w1[...]) + b1f[...]).astype(cast)  # bf16 z, like the flax path
-    h = _gelu_fwd(z.astype(jnp.float32)).astype(cast)
-    m = (_dot(h, w2[...]) + b2f[...]).astype(cast)
-    o_ref[...] = x + m
+    w6 = (s2[...], b2[...], w1[...], b1f[...], w2[...], b2f[...])
+    o_ref[...] = _mlp_branch_fwd_body(x_ref[...], w6, n=n, cast=x_ref.dtype)
 
 
 def _mlp_branch_bwd_kernel(x_ref, s2, b2, w1, b1f, w2, b2f, g_ref,
@@ -867,6 +884,9 @@ def block_impl(B: int, L: int, D: int, H: int, F: int, dtype, impl: str):
     explicit impl ("xla", "pallas", "packed", "stacked") keeps the sub-layer
     path so the kernel lineage stays independently testable.
     """
+    from ssrl_vit_mae_jepa_tpu.ops.attention import validate_impl
+
+    validate_impl(impl)
     if impl not in ("auto", "block", "split", "split_pad"):
         return None
     try:

@@ -100,13 +100,17 @@ def sample_jepa_masks(
         .at[jnp.arange(batch_size)[:, None], target_idx]
         .set(1.0)
     )
-    priority = jax.random.uniform(k_ctx, (batch_size, N)) + is_target * 20.0
+    # three independent keys: k_prio is consumed by the priority draw, so
+    # the block scale/corner must come from separate splits (re-splitting a
+    # consumed key correlates the context-box placement with the tiebreak
+    # priorities inside it)
+    k_prio, k_scale, k_corner = jax.random.split(k_ctx, 3)
+    priority = jax.random.uniform(k_prio, (batch_size, N)) + is_target * 20.0
     if context_sampling == "block":
         # contiguous square context block (I-JEPA: scale 0.85-1.0, aspect 1):
         # membership is a static-shape coordinate test, so the rectangle size
         # can vary freely per sample. Out-of-block patches get a medium
         # penalty — used only when |block \ targets| < context_size.
-        k_scale, k_corner = jax.random.split(k_ctx)
         s = jax.random.uniform(
             k_scale, (batch_size, 1), minval=context_scale[0],
             maxval=context_scale[1],

@@ -84,6 +84,14 @@ def gather_nhwc(
     indices = np.ascontiguousarray(indices, dtype=np.int64)
     N, C, W, H = raw.shape
     B = len(indices)
+    # the C kernel does raw pointer arithmetic: out-of-range indices would
+    # read out of bounds (or segfault) instead of numpy's clean IndexError —
+    # make both paths fail identically
+    if B and (indices.min() < 0 or indices.max() >= N):
+        raise IndexError(
+            f"gather_nhwc indices out of range [0, {N}): "
+            f"min={indices.min()}, max={indices.max()}"
+        )
     lib = _load()
     if lib is None:
         batch = np.asarray(raw[indices])  # (B, C, W, H)

@@ -251,3 +251,19 @@ class TestStackedKernel:
                 np.asarray(b), np.asarray(a), atol=5e-5,
                 err_msg=jax.tree_util.keystr(path),
             )
+
+
+class TestImplValidation:
+    def test_unknown_impl_rejected(self):
+        """A typo'd attn_impl must raise, not silently behave as auto (a
+        parity check forcing 'XLA' would otherwise get the kernel under
+        test instead of the reference path)."""
+        import jax.numpy as jnp
+        import pytest
+
+        from ssrl_vit_mae_jepa_tpu.ops.block_pallas import block_impl
+
+        with pytest.raises(ValueError, match="unknown attn_impl"):
+            block_impl(4, 145, 144, 6, 576, jnp.bfloat16, "XLA")
+        with pytest.raises(ValueError, match="unknown attn_impl"):
+            block_impl(4, 145, 144, 6, 576, jnp.bfloat16, "spit")

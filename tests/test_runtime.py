@@ -37,10 +37,14 @@ class TestNativeGather:
         out = native.gather_nhwc(raw, idx)
         np.testing.assert_array_equal(out, _numpy_ref(raw, idx))
 
-    def test_out_of_range_index_zeros(self):
-        if not native.native_available():
-            pytest.skip("native kernel unavailable")
+    def test_out_of_range_index_raises(self):
+        """Both paths (native C kernel and numpy fallback) reject OOB
+        indices identically — a caller bug raises instead of silently
+        zero-filling (native) or raising only without g++ (numpy)."""
         raw = np.full((4, 3, 96, 96), 7, np.uint8)
-        out = native.gather_nhwc(raw, np.array([0, 99]))
-        assert (out[0] == 7).all()
-        assert (out[1] == 0).all()  # defensive zero-fill, no OOB read
+        with pytest.raises(IndexError, match="out of range"):
+            native.gather_nhwc(raw, np.array([0, 99]))
+        with pytest.raises(IndexError, match="out of range"):
+            native.gather_nhwc(raw, np.array([-1]))
+        out = native.gather_nhwc(raw, np.array([0, 3]))
+        assert (out == 7).all()
