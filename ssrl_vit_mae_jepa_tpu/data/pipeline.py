@@ -127,17 +127,17 @@ def device_prefetch(
         except Exception as e:  # pragma: no cover - propagated below
             err.append(e)
         finally:
+            # bounded put for the sentinel too: never DISCARD a queued
+            # batch to make room (that silently drops the epoch's last
+            # batches when the queue is full at iterator exhaustion) —
+            # wait for the consumer, give up only if it abandoned us
             while True:
                 try:
-                    q.put_nowait(_END)
+                    q.put(_END, timeout=0.2)
                     break
                 except queue.Full:
                     if stop.is_set():
                         break
-                    try:
-                        q.get_nowait()  # make room for the sentinel
-                    except queue.Empty:
-                        pass
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()

@@ -55,17 +55,7 @@ def _sample_crop_params(
     randomness that is IID across the batch either way.
     """
     u = jax.random.uniform(rng, (batch, 4))
-    area = height * width
-    target_area = area * (scale[0] + u[:, 0] * (scale[1] - scale[0]))
-    log_lo, log_hi = math.log(ratio[0]), math.log(ratio[1])
-    aspect = jnp.exp(log_lo + u[:, 1] * (log_hi - log_lo))
-    w = jnp.sqrt(target_area * aspect)
-    h = jnp.sqrt(target_area / aspect)
-    w = jnp.clip(w, 1.0, float(width))
-    h = jnp.clip(h, 1.0, float(height))
-    top = u[:, 2] * (height - h)
-    left = u[:, 3] * (width - w)
-    return top, left, h, w
+    return _crop_box_from_u(u, height, width, scale, ratio)
 
 
 def _axis_weights(start, size, out_n: int, limit: int) -> jnp.ndarray:
@@ -118,6 +108,62 @@ def _crop_resize_batch(
     return jnp.transpose(cols, (0, 1, 3, 2))
 
 
+def draw_augment_params(rng: jax.Array, batch: int):
+    """Per-example augmentation randomness, separated from the apply step.
+
+    Returns ``(u, flip)``: ``u`` (B, 4) crop uniforms, ``flip`` (B,) bools.
+    Row-independent by construction, so a data-parallel shard can draw at
+    the GLOBAL batch size and slice its rows — every chip then applies
+    exactly the augmentation a single-chip run would (the trainer's
+    shard_map path relies on this; ``Task._draw_sliced``).
+    """
+    k_crop, k_flip = jax.random.split(rng)
+    u = jax.random.uniform(k_crop, (batch, 4))
+    flip = jax.random.bernoulli(k_flip, 0.5, (batch, 1, 1, 1)).reshape(batch)
+    return u, flip
+
+
+def _crop_box_from_u(u, height, width, scale, ratio):
+    """(B, 4) uniforms → (top, left, crop_h, crop_w), torchvision semantics
+    (see ``_sample_crop_params``)."""
+    area = height * width
+    target_area = area * (scale[0] + u[:, 0] * (scale[1] - scale[0]))
+    log_lo, log_hi = math.log(ratio[0]), math.log(ratio[1])
+    aspect = jnp.exp(log_lo + u[:, 1] * (log_hi - log_lo))
+    w = jnp.sqrt(target_area * aspect)
+    h = jnp.sqrt(target_area / aspect)
+    w = jnp.clip(w, 1.0, float(width))
+    h = jnp.clip(h, 1.0, float(height))
+    top = u[:, 2] * (height - h)
+    left = u[:, 3] * (width - w)
+    return top, left, h, w
+
+
+@partial(jax.jit, static_argnames=("out_size", "scale", "ratio", "dtype"))
+def apply_augment(
+    u: jnp.ndarray,
+    flip: jnp.ndarray,
+    images_u8: jnp.ndarray,
+    out_size: int = 96,
+    scale: Tuple[float, float] = (0.8, 1.0),
+    ratio: Tuple[float, float] = DEFAULT_RATIO,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Apply pre-drawn augmentation params (``draw_augment_params``)."""
+    B, H, W, C = images_u8.shape
+    images = normalize(images_u8, dtype=jnp.float32)
+    tops, lefts, hs, ws = _crop_box_from_u(u, H, W, scale, ratio)
+    # flip folded into the resample: reversing the horizontal weight-matrix
+    # rows ≡ reversing the output columns, term-for-term (same two nonzeros
+    # per row, same order) — the select runs on the (B, out, W) weights
+    # instead of the 8× larger output images, and the full-image reverse op
+    # disappears from the step (~0.9 ms at B=768, docs/PERFORMANCE.md)
+    out = _crop_resize_batch(
+        images, tops, lefts, hs, ws, (out_size, out_size), flip_x=flip
+    )
+    return out.astype(dtype)
+
+
 @partial(jax.jit, static_argnames=("out_size", "scale", "ratio", "dtype"))
 def random_resized_crop_flip_normalize(
     rng: jax.Array,
@@ -128,22 +174,11 @@ def random_resized_crop_flip_normalize(
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Train-time augmentation: (B, H, W, C) uint8 → (B, out, out, C) in [-1, 1]."""
-    B, H, W, C = images_u8.shape
-    k_crop, k_flip = jax.random.split(rng)
-    images = normalize(images_u8, dtype=jnp.float32)
-
-    tops, lefts, hs, ws = _sample_crop_params(k_crop, B, H, W, scale, ratio)
-    # flip folded into the resample: reversing the horizontal weight-matrix
-    # rows ≡ reversing the output columns, term-for-term (same two nonzeros
-    # per row, same order) — the select runs on the (B, out, W) weights
-    # instead of the 8× larger output images, and the full-image reverse op
-    # disappears from the step (~0.9 ms at B=768, docs/PERFORMANCE.md)
-    flip = jax.random.bernoulli(k_flip, 0.5, (B, 1, 1, 1))
-    out = _crop_resize_batch(
-        images, tops, lefts, hs, ws, (out_size, out_size),
-        flip_x=flip.reshape(B),
+    u, flip = draw_augment_params(rng, images_u8.shape[0])
+    return apply_augment(
+        u, flip, images_u8, out_size=out_size, scale=scale, ratio=ratio,
+        dtype=dtype,
     )
-    return out.astype(dtype)
 
 
 @partial(jax.jit, static_argnames=("out_size", "dtype"))

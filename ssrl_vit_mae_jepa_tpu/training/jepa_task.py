@@ -104,11 +104,14 @@ class JEPATask(Task):
 
     def loss_and_metric_sums(self, params, images, batch, rng, ctx, extra=None):
         B = images.shape[0]
-        t_idx, c_idx = sample_jepa_masks(
-            rng, B, self.grid_size, self.num_blocks, self.block_area,
-            self.context_size, self.aspect_range,
-            context_sampling=self.context_sampling,
-            context_scale=self.context_scale,
+        t_idx, c_idx = self._draw_sliced(
+            lambda r, b: sample_jepa_masks(
+                r, b, self.grid_size, self.num_blocks, self.block_area,
+                self.context_size, self.aspect_range,
+                context_sampling=self.context_sampling,
+                context_scale=self.context_scale,
+            ),
+            rng, B,
         )
         idx_ctx = self._ctx_tokens(c_idx)
         idx_tgt = t_idx + 1
@@ -125,7 +128,7 @@ class JEPATask(Task):
         per_ex = jnp.mean((predf - targf) ** 2, axis=(1, 2))
         w = batch["weight"]
         loss_sum, weight_sum = _weighted(per_ex, w)
-        loss = loss_sum / jnp.maximum(weight_sum, 1.0)
+        loss = loss_sum / self._loss_den(weight_sum)
         sums = {"loss_sum": loss_sum, "weight_sum": weight_sum}
         sums.update(self._collapse_sums(predf, targf, w, weight_sum))
         return loss, sums

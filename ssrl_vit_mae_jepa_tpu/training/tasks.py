@@ -52,6 +52,63 @@ class Task:
         self.mask = None
         self._train_step = None
         self._eval_step = None
+        #: set by Trainer (configure_sharding): data-parallel shard_map
+        self._mesh = None
+        self._axis = None
+
+    # ---- data-parallel sharding -----------------------------------------
+    def configure_sharding(self, mesh) -> None:
+        """Run the jitted steps as ``jax.shard_map`` over the mesh's
+        ``data`` axis (manual collectives; other axes stay automatic/GSPMD).
+
+        GSPMD cannot partition a Pallas kernel — an opaque Mosaic custom
+        call inside a plainly-jitted step makes XLA replicate the FULL
+        global batch on every chip, destroying data-parallel scaling. Under
+        shard_map each chip traces the step at its LOCAL batch shape (the
+        hardware-validated single-chip kernel shapes), the loss is
+        normalized by the GLOBAL weight sum (``_loss_den``), and gradients
+        and metric sums are explicitly ``psum``-ed over the data axis
+        (``check_vma=False`` — see the note in ``_make_train_step``). A
+        1-device data axis is the identity, so single-chip runs take the
+        same code path.
+        """
+        self._mesh = mesh
+        self._axis = "data" if (mesh is not None and "data" in mesh.shape) else None
+        self._train_step = None
+        self._eval_step = None
+
+    def _draw_sliced(self, draw, rng, local_b: int):
+        """Per-example random draws invariant to the data sharding.
+
+        ``draw(rng, B)`` must return arrays with a leading batch dim whose
+        rows are independent (augment params, mask indices). Under
+        shard_map every shard draws at the GLOBAL batch size and slices its
+        own rows, so DP over N chips consumes exactly the randomness a
+        single-chip run would — the DP≡single-device equivalence tests
+        rely on this.
+        """
+        if self._axis is None:
+            return draw(rng, local_b)
+        n = jax.lax.axis_size(self._axis)
+        i = jax.lax.axis_index(self._axis)
+        full = draw(rng, local_b * n)
+        return jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, i * local_b, local_b, 0),
+            full,
+        )
+
+    def _loss_den(self, weight_sum):
+        """Weighted-mean denominator: the GLOBAL weight sum under sharding
+        (per-shard normalization would bias the gradient when shards carry
+        different padding)."""
+        if self._axis is not None:
+            weight_sum = jax.lax.psum(weight_sum, self._axis)
+        return jnp.maximum(weight_sum, 1.0)
+
+    def _psum_sums(self, sums):
+        if self._axis is None:
+            return sums
+        return jax.tree.map(lambda s: jax.lax.psum(s, self._axis), sums)
 
     # ---- subclass hooks -------------------------------------------------
     def init_params(self, rng) -> Any:
@@ -89,12 +146,23 @@ class Task:
         return {}
 
     def preprocess_train(self, rng, images_u8):
+        out = int(getattr(self, "image_size", images_u8.shape[1]))
         if getattr(self, "augment", True):
-            return random_resized_crop_flip_normalize(rng, images_u8, dtype=jnp.float32)
-        return eval_transform(images_u8, dtype=jnp.float32)
+            from ssrl_vit_mae_jepa_tpu.ops.augment import (
+                apply_augment,
+                draw_augment_params,
+            )
+
+            u, flip = self._draw_sliced(
+                draw_augment_params, rng, images_u8.shape[0]
+            )
+            return apply_augment(u, flip, images_u8, out_size=out,
+                                 dtype=jnp.float32)
+        return eval_transform(images_u8, out_size=out, dtype=jnp.float32)
 
     def preprocess_eval(self, images_u8):
-        return eval_transform(images_u8, dtype=jnp.float32)
+        out = int(getattr(self, "image_size", images_u8.shape[1]))
+        return eval_transform(images_u8, out_size=out, dtype=jnp.float32)
 
     # ---- engine ----------------------------------------------------------
     def build_optimizer(self, params):
@@ -143,8 +211,7 @@ class Task:
         return self._eval_step(params, extra, batch, rng, ctx)
 
     def _make_train_step(self):
-        @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
-        def step(state: TrainState, batch, epoch, ctx):
+        def local_step(state: TrainState, batch, epoch, ctx):
             rng, aug_rng, task_rng = jax.random.split(state.rng, 3)
             images = self.preprocess_train(aug_rng, batch["image"])
 
@@ -161,6 +228,15 @@ class Task:
             (loss, sums), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
+            if self._axis is not None:
+                # explicit gradient all-reduce (classic shard_map style):
+                # the steps run with check_vma=False because the VMA
+                # machinery's auto-inserted cotangent psum CHECK-crashes
+                # XLA ("Invalid binary instruction opcode copy") whenever
+                # the mesh has a leftover auto axis (model-parallel dim)
+                # and the grad path contains a bf16 cast — jax 0.9.0 bug,
+                # minimal repro in tests/test_training.py
+                grads = jax.lax.psum(grads, self._axis)
             lr = self.lr_value(epoch)
             opt_state = set_learning_rate(state.opt_state, lr)
             updates, opt_state = self.tx.update(grads, opt_state, state.params)
@@ -169,19 +245,55 @@ class Task:
                 params=params, opt_state=opt_state, rng=rng, step=state.step + 1
             )
             new_state = self.post_update(new_state, epoch)
-            sums = dict(sums)
-            sums["lr"] = lr
+            sums = dict(self._psum_sums(sums))
+            sums["lr"] = lr  # epoch function — invariant, never psum it
             return new_state, sums
 
-        return step
+        if self._mesh is None:
+            return jax.jit(local_step, static_argnums=(3,), donate_argnums=(0,))
+
+        mesh = self._mesh
+        P = jax.sharding.PartitionSpec
+
+        @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def sharded_step(state, batch, epoch, ctx):
+            f = jax.shard_map(
+                partial(local_step, ctx=ctx),
+                mesh=mesh,
+                in_specs=(P(), P("data"), P()),
+                out_specs=(P(), P()),
+                axis_names={"data"},
+                check_vma=False,
+            )
+            return f(state, batch, epoch)
+
+        return sharded_step
 
     def _make_eval_step(self):
-        @partial(jax.jit, static_argnums=(4,))
-        def step(params, extra, batch, rng, ctx):
+        def local_step(params, extra, batch, rng, ctx):
             images = self.preprocess_eval(batch["image"])
-            return self.eval_metric_sums(params, extra, images, batch, rng, ctx)
+            sums = self.eval_metric_sums(params, extra, images, batch, rng, ctx)
+            return dict(self._psum_sums(sums))
 
-        return step
+        if self._mesh is None:
+            return jax.jit(local_step, static_argnums=(4,))
+
+        mesh = self._mesh
+        P = jax.sharding.PartitionSpec
+
+        @partial(jax.jit, static_argnums=(4,))
+        def sharded_step(params, extra, batch, rng, ctx):
+            f = jax.shard_map(
+                partial(local_step, ctx=ctx),
+                mesh=mesh,
+                in_specs=(P(), P(), P("data"), P()),
+                out_specs=P(),
+                axis_names={"data"},
+                check_vma=False,
+            )
+            return f(params, extra, batch, rng)
+
+        return sharded_step
 
 
 def _weighted(per_example: jnp.ndarray, weight: jnp.ndarray):
@@ -257,7 +369,7 @@ class ClassifierTask(Task):
         _, top5_idx = jax.lax.top_k(logits, k)  # top-5 (BASELINE config 3)
         in_top5 = jnp.any(top5_idx == labels[:, None], axis=1).astype(jnp.float32)
         top5_sum = jnp.sum(in_top5 * w)
-        loss = loss_sum / jnp.maximum(weight_sum, 1.0)
+        loss = loss_sum / self._loss_den(weight_sum)
         return loss, {
             "loss_sum": loss_sum,
             "acc_sum": acc_sum,
@@ -340,8 +452,9 @@ class MAETask(Task):
     def loss_and_metric_sums(self, params, images, batch, rng, ctx, extra=None):
         n_mask = int(ctx)
         B = images.shape[0]
-        idx_keep, idx_mask = random_token_mask(
-            rng, B, self.sequence_length, n_mask
+        idx_keep, idx_mask = self._draw_sliced(
+            lambda r, b: random_token_mask(r, b, self.sequence_length, n_mask),
+            rng, B,
         )
         pred, target = self.model.apply(
             {"params": params}, images, idx_keep, idx_mask
@@ -352,7 +465,7 @@ class MAETask(Task):
         )
         w = batch["weight"]
         loss_sum, weight_sum = _weighted(per_ex, w)
-        loss = loss_sum / jnp.maximum(weight_sum, 1.0)
+        loss = loss_sum / self._loss_den(weight_sum)
         return loss, {"loss_sum": loss_sum, "weight_sum": weight_sum}
 
     @staticmethod

@@ -55,6 +55,10 @@ class Trainer:
         self.max_epochs = max_epochs
         self.output_dir = Path(output_dir)
         self.mesh = mesh if mesh is not None else get_mesh()
+        # run the jitted steps as shard_map over the mesh's data axis —
+        # Pallas kernels are opaque to GSPMD, so a plainly-jitted step
+        # would replicate the full global batch on every chip
+        task.configure_sharding(self.mesh)
         self.seed = seed
         self.log_every_n_steps = log_every_n_steps
         self.logger = MetricsLogger(self.output_dir)

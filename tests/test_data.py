@@ -169,3 +169,34 @@ class TestMultihostSharding:
         monkeypatch.setattr(jax, "process_index", lambda: 0)
         with pytest.raises(ValueError, match="not divisible"):
             get_test_dataloader({"test": {"batch_size": 16}}, synthetic_stl10_dir)
+
+
+class TestPrefetchRobustness:
+    def test_no_batch_dropped_when_queue_full_at_exhaustion(self, synthetic_stl10_dir):
+        """The worker must never discard a queued batch to enqueue its end
+        sentinel (regression: the epoch's last batch silently vanished when
+        the consumer was slower than the producer)."""
+        import time
+
+        ds = STL10(synthetic_stl10_dir, "unlabeled")
+        loader = HostLoader(ds, np.arange(40), 8, shuffle=False)
+        seen = 0
+        for batch in device_prefetch(loader.epoch(0), None, depth=1):
+            time.sleep(0.3)  # force the queue to fill before we drain it
+            seen += 1
+        assert seen == len(loader) == 5
+
+    def test_abandoned_generator_releases_worker(self, synthetic_stl10_dir):
+        import threading
+        import time
+
+        ds = STL10(synthetic_stl10_dir, "unlabeled")
+        loader = HostLoader(ds, np.arange(80), 8, shuffle=False)
+        before = threading.active_count()
+        gen = device_prefetch(loader.epoch(0), None, depth=1)
+        next(gen)
+        gen.close()  # abandon mid-epoch
+        deadline = time.time() + 5
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before
