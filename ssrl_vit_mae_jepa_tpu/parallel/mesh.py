@@ -3,11 +3,15 @@
 The reference is single-device (``devices=1`` everywhere, SURVEY.md §2.4);
 the TPU-native design scales through a ``jax.sharding.Mesh``:
 
-- axis ``"data"``: batch-sharded inputs, gradient ``psum`` over ICI inserted
-  automatically by GSPMD (primary strategy per BASELINE.json),
+- axis ``"data"``: batch-sharded inputs; the trainer runs the jitted step
+  as ``jax.shard_map`` over this axis (``Task.configure_sharding``) with
+  explicit gradient/metric ``psum`` over ICI — manual sharding is required
+  because a Pallas kernel is an opaque Mosaic custom call GSPMD cannot
+  partition (primary strategy per BASELINE.json),
 - axis ``"model"``: optional tensor-parallel parameter sharding (Megatron
-  layout: qkv/fc1 kernels column-sharded, proj/fc2 row-sharded) — a scaling
-  hook; at the reference's 1.1 M-param size DP alone is optimal.
+  layout: qkv/fc1 kernels column-sharded, proj/fc2 row-sharded), left
+  AUTOMATIC inside the shard_map (GSPMD partitions those matmuls) — a
+  scaling hook; at the reference's 1.1 M-param size DP alone is optimal.
 
 All collectives ride ICI within the slice; no NCCL/MPI equivalent exists or
 is needed (XLA emits them from the sharding annotations).

@@ -254,3 +254,39 @@ class TestMultiDevice:
         )
         metrics = trainer.fit(loader, None)
         assert np.isfinite(metrics["train_loss"])
+
+    def test_pallas_kernel_runs_inside_shard_map(self, synthetic_stl10_dir,
+                                                 tmp_path):
+        """The point of the shard_map conversion: a Pallas kernel (forced,
+        interpret mode) executes inside the data-sharded step — GSPMD could
+        never partition the Mosaic custom call, it replicated the full
+        global batch on every chip. Also pins DP≡single-device equivalence
+        ON the kernel path. Data-only meshes: interpret mode lowers
+        pallas_call to a host callback, which jax only supports when ALL
+        mesh axes are manual (real Mosaic kernels have no such limit)."""
+        from jax.experimental.pallas import tpu as pltpu
+        from jax.sharding import Mesh
+
+        cfg = small_cfg(freeze_encoder=False, learning_rate=1e-3)
+        ds = STL10(synthetic_stl10_dir, "train")
+        loader = HostLoader(ds, np.arange(16), 16, shuffle=False)
+
+        def data_only_mesh(n):
+            return Mesh(np.asarray(jax.devices()[:n]), ("data",))
+
+        def one_step(mesh):
+            task = ClassifierTask(cfg["model"], cfg["train"],
+                                  dtype=jnp.float32, attn_impl="split")
+            tr = Trainer(
+                task, 1, tmp_path / f"k{mesh.shape['data']}", mesh=mesh,
+                seed=73, enable_checkpointing=False,
+            )
+            with pltpu.force_tpu_interpret_mode():
+                tr.fit(loader, None)
+            return jax.device_get(tr.state.params)
+
+        p8 = one_step(data_only_mesh(8))
+        p1 = one_step(data_only_mesh(1))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=2e-4), p8, p1
+        )
