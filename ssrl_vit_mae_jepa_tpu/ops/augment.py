@@ -39,25 +39,6 @@ def normalize(images_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     )
 
 
-def _sample_crop_params(
-    rng: jax.Array,
-    batch: int,
-    height: int,
-    width: int,
-    scale: Tuple[float, float],
-    ratio: Tuple[float, float] = DEFAULT_RATIO,
-):
-    """Sample (top, left, crop_h, crop_w) for a whole batch (float, clamped).
-
-    One batched ``uniform(rng, (B, 4))`` draw instead of B key-splits with 4
-    scalar draws each: the per-example-key pattern cost ~1.1 ms/step of
-    threefry hashing at B=384 on v5e (profiled; docs/PERFORMANCE.md) for
-    randomness that is IID across the batch either way.
-    """
-    u = jax.random.uniform(rng, (batch, 4))
-    return _crop_box_from_u(u, height, width, scale, ratio)
-
-
 def _axis_weights(start, size, out_n: int, limit: int) -> jnp.ndarray:
     """(B, out_n, limit) bilinear resampling matrix for one spatial axis.
 
@@ -124,8 +105,13 @@ def draw_augment_params(rng: jax.Array, batch: int):
 
 
 def _crop_box_from_u(u, height, width, scale, ratio):
-    """(B, 4) uniforms → (top, left, crop_h, crop_w), torchvision semantics
-    (see ``_sample_crop_params``)."""
+    """(B, 4) uniforms → (top, left, crop_h, crop_w) crop boxes.
+
+    Torchvision RandomResizedCrop semantics: target area uniform in
+    scale·H·W, aspect log-uniform, box clamped to the image (the one
+    batched (B, 4) draw replaces B key-splits — ~1.1 ms/step of threefry
+    hashing at B=384 on v5e, profiled; docs/PERFORMANCE.md).
+    """
     area = height * width
     target_area = area * (scale[0] + u[:, 0] * (scale[1] - scale[0]))
     log_lo, log_hi = math.log(ratio[0]), math.log(ratio[1])

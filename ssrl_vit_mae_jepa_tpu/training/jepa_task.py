@@ -133,8 +133,7 @@ class JEPATask(Task):
         sums.update(self._collapse_sums(predf, targf, w, weight_sum))
         return loss, sums
 
-    @staticmethod
-    def _collapse_sums(predf, targf, w, weight_sum):
+    def _collapse_sums(self, predf, targf, w, weight_sum):
         """Per-batch collapse diagnostics, accumulated as weighted sums.
 
         A joint-embedding method can drive latent MSE down by collapsing both
@@ -148,13 +147,29 @@ class JEPATask(Task):
         - ``pred_target_cos``: mean row-wise cosine(pred, target) — high
           cosine WITH near-zero std is the collapse signature; high cosine
           with healthy std is genuine prediction.
+
+        DP-invariance: the std is computed from GLOBALLY psum-ed per-dim
+        (count, Σx, Σx²) moments — a psum of per-shard stds would drop the
+        between-shard variance term (law of total variance) and read
+        systematically low on a data mesh, false-alarming collapse.
         """
 
+        def _gsum(x):
+            # global-batch moment (the step-end psum touches only the
+            # returned *_sum leaves, which scale by the LOCAL weight_sum —
+            # so the std itself must already be the global value here)
+            if self._axis is None:
+                return x
+            return jax.lax.psum(x, self._axis)
+
         def _wstd(x, row_w):
-            # weighted std over rows per dim, averaged over dims
-            tot = jnp.maximum(jnp.sum(row_w), 1e-9)
-            mu = jnp.sum(x * row_w[:, None], axis=0) / tot
-            var = jnp.sum((x - mu) ** 2 * row_w[:, None], axis=0) / tot
+            # weighted std over ALL (global-batch) rows per dim, averaged
+            # over dims — from psum-ed raw moments
+            tot = jnp.maximum(_gsum(jnp.sum(row_w)), 1e-9)
+            s1 = _gsum(jnp.sum(x * row_w[:, None], axis=0))
+            s2 = _gsum(jnp.sum(x * x * row_w[:, None], axis=0))
+            mu = s1 / tot
+            var = s2 / tot - mu * mu
             return jnp.mean(jnp.sqrt(jnp.maximum(var, 0.0)))
 
         Bc, M, D = predf.shape

@@ -23,8 +23,9 @@ import optax
 from ssrl_vit_mae_jepa_tpu.models.classifier import classifier_from_config
 from ssrl_vit_mae_jepa_tpu.models.mae import mae_from_config
 from ssrl_vit_mae_jepa_tpu.ops.augment import (
+    apply_augment,
+    draw_augment_params,
     eval_transform,
-    random_resized_crop_flip_normalize,
 )
 from ssrl_vit_mae_jepa_tpu.ops.masking import num_masked_tokens, random_token_mask
 from ssrl_vit_mae_jepa_tpu.training.optim import (
@@ -148,11 +149,6 @@ class Task:
     def preprocess_train(self, rng, images_u8):
         out = int(getattr(self, "image_size", images_u8.shape[1]))
         if getattr(self, "augment", True):
-            from ssrl_vit_mae_jepa_tpu.ops.augment import (
-                apply_augment,
-                draw_augment_params,
-            )
-
             u, flip = self._draw_sliced(
                 draw_augment_params, rng, images_u8.shape[0]
             )
@@ -249,7 +245,7 @@ class Task:
             sums["lr"] = lr  # epoch function — invariant, never psum it
             return new_state, sums
 
-        if self._mesh is None:
+        if self._axis is None:
             return jax.jit(local_step, static_argnums=(3,), donate_argnums=(0,))
 
         mesh = self._mesh
@@ -275,7 +271,7 @@ class Task:
             sums = self.eval_metric_sums(params, extra, images, batch, rng, ctx)
             return dict(self._psum_sums(sums))
 
-        if self._mesh is None:
+        if self._axis is None:
             return jax.jit(local_step, static_argnums=(4,))
 
         mesh = self._mesh

@@ -8,8 +8,11 @@ checkpointing, metric logging, and resume.
 
 Scaling: one ``jax.sharding.Mesh``; batches are sharded over the ``data``
 axis, train state is replicated (or tensor-parallel via ``parallel.mesh``
-rules), and XLA inserts the gradient all-reduce over ICI. The same code path
-runs single-chip (mesh of 1).
+rules), and the jitted steps run as ``jax.shard_map`` over the data axis
+with explicit gradient/metric ``psum`` over ICI
+(``Task.configure_sharding`` — GSPMD cannot partition the Pallas kernels,
+so manual data sharding is the composition that scales). The same code
+path runs single-chip (mesh of 1).
 """
 
 from __future__ import annotations

@@ -1,5 +1,6 @@
 """Trainer/task tests: freeze policy, schedules-in-step, learning, resume."""
 
+import os
 import numpy as np
 import pytest
 
@@ -289,4 +290,45 @@ class TestMultiDevice:
         p1 = one_step(data_only_mesh(1))
         jax.tree.map(
             lambda a, b: np.testing.assert_allclose(a, b, atol=2e-4), p8, p1
+        )
+
+    @pytest.mark.slow
+    def test_vma_psum_xla_bug_still_present(self):
+        """Canary for the jax 0.9.0 bug that forces check_vma=False in
+        Task's shard_map steps: grad through a bf16 cast inside shard_map
+        on a mesh with a leftover AUTO axis CHECK-crashes XLA ("Invalid
+        binary instruction opcode copy") when the VMA machinery inserts
+        the cotangent psum. Runs in a subprocess (the crash is a C++
+        abort). If this test FAILS after a jax upgrade, the bug is fixed —
+        re-enable check_vma in tasks.py and delete this canary."""
+        import subprocess
+        import sys
+
+        repro = """
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update('jax_platforms','cpu')
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+mesh = Mesh(np.asarray(jax.devices()).reshape(4,2), ('data','model'))
+W = jnp.zeros((16,16), jnp.float32)
+x = jax.device_put(jnp.zeros((8,16), jnp.float32), NamedSharding(mesh, P('data')))
+def local(W, xb):
+    def loss(w):
+        return jnp.sum((xb.astype(jnp.bfloat16) @ w.astype(jnp.bfloat16)).astype(jnp.float32)**2)
+    return jax.grad(loss)(W)
+f = jax.jit(lambda w, xb: jax.shard_map(local, mesh=mesh, in_specs=(P(), P('data')),
+                                        out_specs=P(), axis_names={'data'})(w, xb))
+f(W, x)
+print('NO-CRASH')
+"""
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        proc = subprocess.run(
+            [sys.executable, "-c", repro], env=env, capture_output=True,
+            text=True, timeout=300,
+        )
+        assert "NO-CRASH" not in proc.stdout and proc.returncode != 0, (
+            "jax fixed the VMA cotangent-psum bug — re-enable check_vma in "
+            "Task._make_train_step/_make_eval_step and drop this canary"
         )
