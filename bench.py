@@ -136,7 +136,10 @@ def main():
         if args.task != "classifier" else "classifier_train_images_per_sec",
         "value": round(images_per_s, 1),
         "unit": "images/s",
-        # the published reference baseline exists only for MAE pretraining
+        # the published reference baseline exists only for MAE pretraining;
+        # for jepa/classifier the ratio is still against that MAE number —
+        # a deliberate cross-task reference point (docs/PERFORMANCE.md
+        # labels it as such), NOT a same-task comparison
         "vs_baseline": round(images_per_s / BASELINE_IMAGES_PER_S, 3),
         "batch_size": B,
         "steps": args.steps,

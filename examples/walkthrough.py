@@ -18,12 +18,11 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-# honor JAX_PLATFORMS even under the axon sitecustomize
-_env = os.environ.get("JAX_PLATFORMS")
-if _env and "axon" not in _env:
-    import jax
+# honor JAX_PLATFORMS even under the axon sitecustomize — single
+# implementation shared with every CLI entry point
+from scripts.utils import setup_reproducibility
 
-    jax.config.update("jax_platforms", _env)
+setup_reproducibility()
 
 
 def main():

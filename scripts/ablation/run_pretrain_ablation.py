@@ -43,7 +43,8 @@ def sweep(fractions: list[float]) -> None:
         if code != 0:
             print(f"[pretrain-ablation] {suffix} FAILED (exit {code}); "
                   "aborting remaining fractions")
-            break
+            print("Pretraining sweep ABORTED — remaining fractions not run")
+            return
         print(f"[pretrain-ablation] {suffix} done")
 
     print("All requested pretraining experiments completed")

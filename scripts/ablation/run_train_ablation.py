@@ -83,12 +83,15 @@ def run_cell(base: dict, frac_pct: int, labels: int, mode: Mode) -> None:
 
     ckpt_flag = "--encoder_ckpt" if mode.follows is None else "--classifier_ckpt"
     cfg_path = common.write_config(cfg, Path("configs") / f"tmp_{suffix}.yaml")
-    code = common.launch("scripts.training.train_mae", cfg_path, suffix,
-                         (ckpt_flag, str(source)))
+    try:
+        code = common.launch("scripts.training.train_mae", cfg_path, suffix,
+                             (ckpt_flag, str(source)))
+    finally:
+        # failed cells must not leak tmp_*.yaml into the tracked configs/
+        cfg_path.unlink(missing_ok=True)
     if code != 0:
         print(f"[train-ablation] {suffix} FAILED (exit {code}); continuing sweep")
         return
-    cfg_path.unlink(missing_ok=True)
     print(f"[train-ablation] {suffix} done")
 
 

@@ -24,10 +24,22 @@ setup_reproducibility(seed=73)
 
 
 def default_checkpoint(cfg: dict) -> Path:
-    """Best checkpoint of the training run this config describes."""
-    suffix = cfg["train"].get("output_dir_suffix", "default")
+    """Best checkpoint of the training run this config describes.
+
+    Reference contract first (``train.output_dir_suffix`` config key,
+    reference ``evaluate_classifier.py:45-54``) — but no config nor
+    training CLI ever writes that key, so when the contract path doesn't
+    exist fall back to the train CLI's own argparse default suffix
+    (``mae_finetune``), which is where a flagless
+    ``python -m scripts.training.train_mae`` actually saved.
+    """
     root = Path(cfg["logging"]["output_dir_base"])
-    return root / "train" / suffix / "checkpoints" / "best.ckpt"
+    suffix = cfg["train"].get("output_dir_suffix", "default")
+    contract = root / "train" / suffix / "checkpoints" / "best.ckpt"
+    if contract.exists():
+        return contract
+    fallback = root / "train" / "mae_finetune" / "checkpoints" / "best.ckpt"
+    return fallback if fallback.exists() else contract
 
 
 def main() -> None:

@@ -144,6 +144,7 @@ def check_file(checkpoint, cfg: dict, batch: int = 8, tol: float = 1e-3) -> bool
     Covers encoder features always; the full MAE (pred, target) pipeline when
     decoder weights are present; classifier logits + top-1 agreement when a
     head is present. Returns True when every applicable check passes."""
+    import jax
     import jax.numpy as jnp
 
     from ssrl_vit_mae_jepa_tpu.models import classifier_from_config, vit_from_config
@@ -171,7 +172,7 @@ def check_file(checkpoint, cfg: dict, batch: int = 8, tol: float = 1e-3) -> bool
     golden = torch_forward_features(enc_state, x, depth, heads, p)
     vit = vit_from_config(model_cfg, dtype=jnp.float32, attn_impl="xla")
     ours = np.asarray(
-        vit.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        jax.jit(vit.apply)({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
     )
     err = np.abs(ours - golden)
     rel = err.max() / max(np.abs(golden).max(), 1e-9)
@@ -208,7 +209,7 @@ def check_file(checkpoint, cfg: dict, batch: int = 8, tol: float = 1e-3) -> bool
         L = mae.sequence_length
         idx_keep, idx_mask = random_token_mask(
             jax.random.PRNGKey(42), batch, L, num_masked_tokens(L, 0.75))
-        pred, target = mae.apply(
+        pred, target = jax.jit(mae.apply)(
             {"params": mae_params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
             idx_keep, idx_mask)
         g_pred, g_target = torch_mae_forward(
@@ -225,11 +226,14 @@ def check_file(checkpoint, cfg: dict, batch: int = 8, tol: float = 1e-3) -> bool
         clf_params, _, _ = classifier_params_from_checkpoint(checkpoint, depth)
         clf = classifier_from_config(model_cfg, dtype=jnp.float32, attn_impl="xla")
         logits = np.asarray(
-            clf.apply({"params": clf_params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+            jax.jit(clf.apply)({"params": clf_params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
         )
         w = flat[[k for k in flat if k.endswith("head.classification.weight")][0]]
         b = flat[[k for k in flat if k.endswith("head.classification.bias")][0]]
-        pooled = golden[:, 0]
+        # pool per config: the flax classifier obeys head.pool, so the
+        # golden must too (mean INCLUDES CLS — quirk Q6)
+        pool = model_cfg.get("head", {}).get("pool", "cls")
+        pooled = golden[:, 0] if pool == "cls" else golden.mean(axis=1)
         golden_logits = pooled @ np.asarray(w, np.float32).T + np.asarray(b, np.float32)
         lerr = np.abs(logits - golden_logits).max()
         agree = (logits.argmax(1) == golden_logits.argmax(1)).mean()

@@ -54,7 +54,8 @@ def reconstruct_batch(cfg, checkpoint, images_u8, mask_ratio=0.75):
     idx_keep, idx_mask = random_token_mask(
         jax.random.PRNGKey(MASK_SEED), B, L, n_mask
     )
-    pred, target = mae.apply({"params": params}, images, idx_keep, idx_mask)
+    # jit: eager ops cost ~0.5 s each over the axon tunnel (CLAUDE.md)
+    pred, target = jax.jit(mae.apply)({"params": params}, images, idx_keep, idx_mask)
 
     patches = patchify(images, p)  # (B, N, p²·3)
     # masked image: gray (0.5 in [0,1] = 0.0 in [-1,1]) at masked patches

@@ -38,10 +38,14 @@ def extract_features(cfg, checkpoint, pool="cls", normalize="none",
     enc_params, _ = encoder_params_from_checkpoint(
         checkpoint, model_cfg["encoder"]["depth"]
     )
+    # transform to the CONFIG's image size: the pos-embed length only
+    # matches when the input is resized to it, not the 96px default
+    size = int(model_cfg["general"].get("image_size", 96))
 
     @jax.jit
     def feats_fn(images_u8):
-        tokens = vit.apply({"params": enc_params}, eval_transform(images_u8))
+        x = eval_transform(images_u8, out_size=size)
+        tokens = vit.apply({"params": enc_params}, x)
         if pool == "cls":
             return tokens[:, 0]
         return tokens[:, 1:].mean(axis=1)  # mean EXCLUDES CLS here (Q6)

@@ -64,12 +64,30 @@ def main():
     )
     trainer.fit(train_loader, val_loader, resume_from=args.resume_from)
 
-    model_path = output_dir / "vit-jepa.pt"
+    # terminal artifact: a genuinely torch-readable encoder state dict with
+    # timm names (same torch.save contract as the MAE CLI — a .pt suffix
+    # must be loadable by plain torch). The FULL JEPA state (context
+    # encoder + predictor + EMA target) is kept alongside as a native
+    # checkpoint for resume/analysis.
+    import jax
+
+    from ssrl_vit_mae_jepa_tpu.utils.torch_interop import export_reference_weights
+
+    model_path = output_dir / log_cfg.get("jepa_model_path", "vit-jepa.pt")
+    host_params = jax.device_get(trainer.state.params)
+    if not export_reference_weights(model_path, {"encoder": host_params["encoder"]}):
+        model_path = output_dir / "vit-jepa.ckpt"  # no torch: honest suffix
     save_checkpoint(
-        model_path,
+        output_dir / "jepa_state.ckpt",
         {"params": trainer.state.params, "target_encoder": trainer.state.extra},
         {"kind": "jepa_weights", "hyper_parameters": trainer.hyper_parameters},
     )
+    if model_path.suffix == ".ckpt":
+        save_checkpoint(
+            model_path,
+            {"params": trainer.state.params},
+            {"kind": "jepa_weights", "hyper_parameters": trainer.hyper_parameters},
+        )
     print("\n✅ JEPA pretraining complete")
     print(f"📦 Model weights saved to: {model_path}")
     print(f"🏁 Best checkpoint: {trainer.callbacks.best_path}")

@@ -15,7 +15,7 @@ import argparse
 from pathlib import Path
 
 
-def extract(ckpt_path: Path, out_path: Path, depth: int, decoder_depth: int):
+def extract(ckpt_path: Path, out_path: Path):
     from ssrl_vit_mae_jepa_tpu.utils.checkpoint import (
         is_native_checkpoint,
         load_checkpoint,
@@ -41,8 +41,6 @@ def extract(ckpt_path: Path, out_path: Path, depth: int, decoder_depth: int):
 def main():
     parser = argparse.ArgumentParser(description="Extract pure weights from checkpoints")
     parser.add_argument("--weights_dir", type=str, default="assets/weights")
-    parser.add_argument("--depth", type=int, default=4)
-    parser.add_argument("--decoder_depth", type=int, default=2)
     args = parser.parse_args()
 
     weights_dir = Path(args.weights_dir)
@@ -51,7 +49,7 @@ def main():
         print(f"No .ckpt files found in {weights_dir}")
         return
     for ckpt in ckpts:
-        extract(ckpt, ckpt.with_suffix(".pt"), args.depth, args.decoder_depth)
+        extract(ckpt, ckpt.with_suffix(".pt"))
 
 
 if __name__ == "__main__":

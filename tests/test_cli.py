@@ -181,6 +181,17 @@ class TestEndToEnd:
         assert "JEPA pretraining complete" in stdout
         best = cli_env["outputs"] / "pretrain/jepa_t/checkpoints/best.ckpt"
         assert best.exists()
+        # the .pt terminal artifact must be genuinely torch-loadable (the
+        # MAE torch.save contract) — it used to be a native zip with a .pt
+        # suffix — and the full JEPA state rides alongside natively
+        import torch
+
+        state = torch.load(
+            cli_env["outputs"] / "pretrain/jepa_t/vit-jepa.pt",
+            weights_only=True,
+        )
+        assert "cls_token" in state and "blocks.0.attn.qkv.weight" in state
+        assert (cli_env["outputs"] / "pretrain/jepa_t/jepa_state.ckpt").exists()
         stdout = run_cli(
             "scripts.training.train_mae",
             "--config", str(jepa_cfg_path), "--encoder_ckpt", str(best),

@@ -343,7 +343,7 @@ class TestTorchExport:
             "params"]
         native = tmp_path / "native.ckpt"
         save_checkpoint(native, {"params": params, "opt_state": {"x": 1}}, {})
-        extract(native, tmp_path / "native.pt", DEPTH, 1)
+        extract(native, tmp_path / "native.pt")
         out = torch.load(tmp_path / "native.pt", map_location="cpu",
                          weights_only=True)
         assert "encoder.vit.cls_token" in out and "opt_state" not in out
@@ -351,7 +351,7 @@ class TestTorchExport:
         wrapped = {"state_dict": {"model.encoder.vit.cls_token":
                                   torch.zeros(1, 1, D)}, "epoch": 3}
         torch.save(wrapped, tmp_path / "wrapped.ckpt")
-        extract(tmp_path / "wrapped.ckpt", tmp_path / "wrapped.pt", DEPTH, 1)
+        extract(tmp_path / "wrapped.ckpt", tmp_path / "wrapped.pt")
         out = torch.load(tmp_path / "wrapped.pt", map_location="cpu",
                          weights_only=True)
         assert set(out) == {"model.encoder.vit.cls_token"}
