@@ -66,6 +66,29 @@ def main() -> None:
     assert jax.process_count() == 2, jax.process_count()
     assert jax.device_count() == 8 and len(jax.local_devices()) == 4
 
+    if os.environ.get("SSRL_WORKER_MODE") == "factory":
+        # the CLI path: loader FACTORIES must shard indices per process and
+        # divide the global batch themselves (data/loaders._shard_for_process)
+        from ssrl_vit_mae_jepa_tpu.data.loaders import get_pretrain_dataloaders
+
+        cfg = {"pretrain": {**PRETRAIN_CFG, "data_fraction": 1.0,
+                            "val_split": 0.25},
+               "seed": 73}
+        train, val = get_pretrain_dataloaders(cfg, data_dir)
+        assert train.batch_size == PRETRAIN_CFG["batch_size"] // 2
+        print(f"MULTIHOST_SHARD={sorted(int(i) for i in train.indices)}",
+              flush=True)
+        mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("data",))
+        task = MAETask(MODEL_CFG, PRETRAIN_CFG, dtype=jnp.float32)
+        trainer = Trainer(
+            task, max_epochs=1,
+            output_dir=os.path.join(out_dir, f"f{jax.process_index()}"),
+            mesh=mesh, enable_checkpointing=False,
+        )
+        metrics = trainer.fit(train, val)
+        print(f"MULTIHOST_TRAIN_LOSS={metrics['train_loss']:.10f}", flush=True)
+        return
+
     indices = process_local_indices(np.arange(GLOBAL_EXAMPLES))
     assert len(indices) == GLOBAL_EXAMPLES // 2
 

@@ -98,3 +98,42 @@ def test_two_process_training_matches_single_process(tmp_path, synthetic_stl10_d
     assert jax.device_count() == 8
     ref = trainer.fit(loader)["train_loss"]
     assert losses[0] == pytest.approx(ref, abs=1e-5), (losses, ref)
+
+
+@pytest.mark.slow
+def test_two_process_factory_loaders_shard(tmp_path, synthetic_stl10_dir):
+    """The CLI loader factories, under REAL jax.distributed: each process
+    gets a disjoint index shard at global_batch/2 rows, the shards cover
+    the split, and a full fit epoch (train + val) completes with the same
+    finite global loss on both processes."""
+    port = _free_port()
+    workers = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.update({
+            "PYTHONPATH": str(REPO),
+            "SSRL_COORDINATOR": f"127.0.0.1:{port}",
+            "SSRL_NUM_PROCESSES": "2",
+            "SSRL_PROCESS_ID": str(pid),
+            "SSRL_WORKER_MODE": "factory",
+        })
+        workers.append(subprocess.Popen(
+            [sys.executable, str(REPO / "tests/_multihost_worker.py"),
+             str(synthetic_stl10_dir), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = [w.communicate(timeout=600) for w in workers]
+    shards, losses = [], []
+    for w, (out, errtxt) in zip(workers, outs):
+        assert w.returncode == 0, f"worker failed:\n{out[-2000:]}\n{errtxt[-3000:]}"
+        shard = [x for x in out.splitlines() if x.startswith("MULTIHOST_SHARD=")]
+        loss = [x for x in out.splitlines()
+                if x.startswith("MULTIHOST_TRAIN_LOSS=")]
+        assert shard and loss, out
+        shards.append(set(eval(shard[0].split("=", 1)[1])))
+        losses.append(float(loss[0].split("=")[1]))
+    assert not shards[0] & shards[1], "factory shards overlap"
+    assert losses[0] == pytest.approx(losses[1], abs=1e-9), losses
+    assert np.isfinite(losses[0])
