@@ -62,6 +62,10 @@ class Trainer:
         # Pallas kernels are opaque to GSPMD, so a plainly-jitted step
         # would replicate the full global batch on every chip
         task.configure_sharding(self.mesh)
+        # multihost: exactly one process writes checkpoints/logs — every
+        # process racing os.replace on the SAME tmp path can interleave
+        # and corrupt the zip; state is replicated so process 0 suffices
+        self._is_main = jax.process_index() == 0
         self.seed = seed
         self.log_every_n_steps = log_every_n_steps
         self.logger = MetricsLogger(self.output_dir)
@@ -156,8 +160,9 @@ class Trainer:
                     step_metrics = self.task.epoch_metrics_from_sums(
                         jax.device_get(step_sums), "train"
                     )
-                    self.logger.log(step_metrics, step=self.global_step,
-                                    epoch=epoch)
+                    if self._is_main:
+                        self.logger.log(step_metrics, step=self.global_step,
+                                        epoch=epoch)
             # one host sync per epoch
             sums = {} if sums is None else jax.device_get(sums)
             dt = time.time() - t0
@@ -180,7 +185,8 @@ class Trainer:
                 else train_loader.num_examples
             ) * jax.process_count()  # loaders hold per-process shards
             metrics["images_per_s"] = n_images / max(dt, 1e-9)
-            self.logger.log(metrics, step=self.global_step, epoch=epoch)
+            if self._is_main:
+                self.logger.log(metrics, step=self.global_step, epoch=epoch)
             shown = {
                 k: round(v, 5)
                 for k, v in metrics.items()
@@ -190,7 +196,7 @@ class Trainer:
                 f"Epoch {epoch}: {n_steps} steps, {dt:.1f}s, "
                 f"{metrics['images_per_s']:.0f} img/s — {shown}"
             )
-            if self.callbacks is not None:
+            if self.callbacks is not None and self._is_main:
                 self.callbacks.on_epoch_end(
                     epoch,
                     metrics,
