@@ -48,3 +48,16 @@ def synthetic_stl10_dir(tmp_path_factory):
         root, num_train=80, num_test=40, num_unlabeled=200, seed=0
     )
     return root
+
+
+def scrubbed_cpu_env(**extra):
+    """Subprocess env for CPU-only children: pin CPU, drop the virtual-mesh
+    flag, and keep the axon sitecustomize inert (with the pool var set it
+    dials the TPU relay at interpreter start — 420 s hangs when it's down).
+    Single implementation for every test that spawns Python."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update(extra)
+    return env

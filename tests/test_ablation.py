@@ -18,12 +18,9 @@ REPO = Path(__file__).resolve().parents[1]
 
 
 def run_driver(module, cwd, env_extra, timeout=900):
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("XLA_FLAGS", None)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["PYTHONPATH"] = str(REPO)
-    env.update(env_extra)
+    from tests.conftest import scrubbed_cpu_env
+
+    env = scrubbed_cpu_env(PYTHONPATH=str(REPO), **env_extra)
     proc = subprocess.run(
         [sys.executable, "-m", module],
         cwd=cwd, env=env, capture_output=True, text=True, timeout=timeout,
@@ -106,7 +103,9 @@ def test_full_sweep_chain(tmp_path):
     proc = subprocess.run(
         [sys.executable, "-m", "scripts.weight_utils.copy_ckpts",
          "--outputs_dir", "outputs/train", "--dest_dir", "assets/weights"],
-        cwd=tmp_path, env={**os.environ, "PYTHONPATH": str(REPO)},
+        cwd=tmp_path,
+        env=__import__("tests.conftest", fromlist=["x"]).scrubbed_cpu_env(
+            PYTHONPATH=str(REPO)),
         capture_output=True, text=True, timeout=120,
     )
     assert proc.returncode == 0, proc.stderr
@@ -118,9 +117,8 @@ def test_full_sweep_chain(tmp_path):
          "--outputs_dir", "outputs/train",
          "--output", "assets/visualizations/val_accuracy_by_mode.png"],
         cwd=tmp_path,
-        env={k: v for k, v in {**os.environ, "PYTHONPATH": str(REPO),
-                               "JAX_PLATFORMS": "cpu"}.items()
-             if k != "PALLAS_AXON_POOL_IPS"},
+        env=__import__("tests.conftest", fromlist=["x"]).scrubbed_cpu_env(
+            PYTHONPATH=str(REPO)),
         capture_output=True, text=True, timeout=300,
     )
     assert proc.returncode == 0, proc.stderr

@@ -101,7 +101,13 @@ class TestPackedKernel:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
 
     def test_model_forced_packed_matches_xla(self, rng):
-        """Whole ViT with impl='packed' (interpret) ≡ impl='xla'."""
+        """Whole ViT with impl='packed' (interpret) ≡ impl='xla'.
+
+        NOTE impl='packed' dispatches to the head-STACKED kernel
+        (ops/attention.py use_packed → mha_stacked_qkv) — the legacy
+        slot-packed kernel (attention_pallas_packed) is reachable only by
+        direct call and is covered by the direct fwd/bwd tests above; this
+        test pins the model-level dispatch path for the forced string."""
         from ssrl_vit_mae_jepa_tpu.models.vit import VisionTransformer
 
         x = _rand((2, 32, 32, 3), 5)

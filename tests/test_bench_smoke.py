@@ -15,13 +15,9 @@ REPO = Path(__file__).resolve().parents[1]
 @pytest.mark.slow
 @pytest.mark.parametrize("task", ["mae", "jepa", "classifier"])
 def test_bench_runs_and_prints_json(task):
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("XLA_FLAGS", None)
-    # keep the axon sitecustomize hook inert in the subprocess: with the
-    # pool var set it dials the TPU relay at interpreter start, making this
-    # CPU-only smoke hang on relay health (420 s timeouts when it's down)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
+    from tests.conftest import scrubbed_cpu_env
+
+    env = scrubbed_cpu_env()
     # --tiny: the flagship JEPA step (3 sub-models) compiles for >15 min on
     # this 1-core CPU host (measured round 3) — the smoke only guards the
     # import/arg/pipeline surface, so a small model is the right scale

@@ -222,6 +222,11 @@ class TestFusedBlock:
         assert bp._group(768) == 3
         assert bp._flat_group(768, 145) == 8  # (3*145) % 8 != 0 → auto
 
+        # a DISTINGUISHING legal override (16 != the auto choice 8) must be
+        # honored — without this case the override path could be dead code
+        monkeypatch.setenv("SSRL_BLOCK_GROUP", "16")
+        assert bp._flat_group(768, 145) == 16
+
     def test_auto_policy_excludes_sublane_dims(self):
         """auto never runs D<128 RAW or head-dim<24 (TPU kernel fault shapes).
 

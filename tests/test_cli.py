@@ -17,11 +17,9 @@ REPO = Path(__file__).resolve().parents[1]
 
 
 def run_cli(module, *argv, env_extra=None, timeout=600):
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("XLA_FLAGS", None)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env.update(env_extra or {})
+    from tests.conftest import scrubbed_cpu_env
+
+    env = scrubbed_cpu_env(**(env_extra or {}))
     proc = subprocess.run(
         [sys.executable, "-m", module, *argv],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,

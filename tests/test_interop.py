@@ -193,8 +193,7 @@ class TestCheckpointRouting:
         for prefix in ["model.encoder.", "encoder.", "module.encoder."]:
             path = tmp_path / f"{prefix.replace('.', '_')}.pt"
             torch.save(
-                {k if prefix == "" else prefix + k: torch.from_numpy(v)
-                 for k, v in state.items()},
+                {prefix + k: torch.from_numpy(v) for k, v in state.items()},
                 path,
             )
             assert is_torch_checkpoint(path)
@@ -206,7 +205,6 @@ class TestCheckpointRouting:
 
     def test_lightning_style_state_dict_key(self, tmp_path):
         inner = {
-            "model.encoder.vit." + k if not k.startswith("blocks") else
             "model.encoder.vit." + k: torch.from_numpy(v)
             for k, v in make_timm_state(4).items()
         }

@@ -8,6 +8,7 @@ covering ``maybe_initialize_distributed``, ``process_local_indices``,
 asserts the loss matches a single-process 8-device run bit-for-bit-ish.
 """
 
+import ast
 import os
 import socket
 import subprocess
@@ -67,7 +68,12 @@ def test_two_process_training_matches_single_process(tmp_path, synthetic_stl10_d
              str(synthetic_stl10_dir), str(tmp_path)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         ))
-    outs = [w.communicate(timeout=600) for w in workers]
+    try:
+        outs = [w.communicate(timeout=600) for w in workers]
+    finally:
+        for w in workers:
+            if w.poll() is None:
+                w.kill()
     losses = []
     for w, (out, errtxt) in zip(workers, outs):
         assert w.returncode == 0, f"worker failed:\n{out[-2000:]}\n{errtxt[-3000:]}"
@@ -124,7 +130,12 @@ def test_two_process_factory_loaders_shard(tmp_path, synthetic_stl10_dir):
              str(synthetic_stl10_dir), str(tmp_path)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         ))
-    outs = [w.communicate(timeout=600) for w in workers]
+    try:
+        outs = [w.communicate(timeout=600) for w in workers]
+    finally:
+        for w in workers:
+            if w.poll() is None:
+                w.kill()
     shards, losses = [], []
     for w, (out, errtxt) in zip(workers, outs):
         assert w.returncode == 0, f"worker failed:\n{out[-2000:]}\n{errtxt[-3000:]}"
@@ -132,8 +143,14 @@ def test_two_process_factory_loaders_shard(tmp_path, synthetic_stl10_dir):
         loss = [x for x in out.splitlines()
                 if x.startswith("MULTIHOST_TRAIN_LOSS=")]
         assert shard and loss, out
-        shards.append(set(eval(shard[0].split("=", 1)[1])))
+        shards.append(set(ast.literal_eval(shard[0].split("=", 1)[1])))
         losses.append(float(loss[0].split("=")[1]))
     assert not shards[0] & shards[1], "factory shards overlap"
     assert losses[0] == pytest.approx(losses[1], abs=1e-9), losses
     assert np.isfinite(losses[0])
+    # only process 0 writes metrics (trainer._is_main gating — every
+    # process racing the same ckpt tmp path can corrupt the zip)
+    log0 = tmp_path / "f0" / "metrics.jsonl"
+    log1 = tmp_path / "f1" / "metrics.jsonl"
+    assert log0.exists() and log0.stat().st_size > 0
+    assert not log1.exists() or log1.stat().st_size == 0

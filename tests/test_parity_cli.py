@@ -37,10 +37,9 @@ def test_parity_cli_passes(tmp_path):
     ckpt = tmp_path / "enc.pt"
     torch.save(state, ckpt)
 
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("XLA_FLAGS", None)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
+    from tests.conftest import scrubbed_cpu_env
+
+    env = scrubbed_cpu_env()
     proc = subprocess.run(
         [sys.executable, "-m", "scripts.evaluation.parity_check", str(ckpt),
          "--config", str(cfg_path), "--batch", "2"],
@@ -71,10 +70,9 @@ def test_parity_cli_checks_mae_decoder(tmp_path):
     ckpt = tmp_path / "vit-mae.pt"
     torch.save(state, ckpt)
 
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("XLA_FLAGS", None)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
+    from tests.conftest import scrubbed_cpu_env
+
+    env = scrubbed_cpu_env()
     proc = subprocess.run(
         [sys.executable, "-m", "scripts.evaluation.parity_check", str(ckpt),
          "--config", str(cfg_path), "--batch", "2"],
@@ -132,11 +130,9 @@ def test_parity_protocol_end_to_end(tmp_path):
     torch.save({k: torch.from_numpy(v) for k, v in clf.items()},
                weights / "mae_100_400.pt")
 
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["SSRL_DATA_DIR"] = str(data)
-    env.pop("XLA_FLAGS", None)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
+    from tests.conftest import scrubbed_cpu_env
+
+    env = scrubbed_cpu_env(SSRL_DATA_DIR=str(data))
     proc = subprocess.run(
         [sys.executable, "-m", "scripts.evaluation.run_parity_protocol",
          str(weights), "--config", str(cfg_path), "--batch", "2"],

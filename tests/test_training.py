@@ -320,15 +320,22 @@ f = jax.jit(lambda w, xb: jax.shard_map(local, mesh=mesh, in_specs=(P(), P('data
 f(W, x)
 print('NO-CRASH')
 """
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
-        env.pop("PALLAS_AXON_POOL_IPS", None)
+        from tests.conftest import scrubbed_cpu_env
+
+        env = scrubbed_cpu_env(
+            XLA_FLAGS="--xla_force_host_platform_device_count=8")
         proc = subprocess.run(
             [sys.executable, "-c", repro], env=env, capture_output=True,
             text=True, timeout=300,
         )
-        assert "NO-CRASH" not in proc.stdout and proc.returncode != 0, (
-            "jax fixed the VMA cotangent-psum bug — re-enable check_vma in "
-            "Task._make_train_step/_make_eval_step and drop this canary"
+        if "NO-CRASH" in proc.stdout and proc.returncode == 0:
+            pytest.fail(
+                "jax fixed the VMA cotangent-psum bug — re-enable check_vma "
+                "in Task._make_train_step/_make_eval_step, drop this canary")
+        # require the actual XLA CHECK signature: any other nonzero exit
+        # means the repro itself broke (e.g. a signature change) and the
+        # canary would otherwise stay green forever
+        assert proc.returncode < 0 or "opcode copy" in proc.stderr, (
+            f"repro script broke (exit {proc.returncode}) — fix it so the "
+            f"canary keeps tracking the bug:\n{proc.stderr[-2000:]}"
         )
