@@ -131,6 +131,27 @@ def main():
 
     images_per_s = B * args.steps / dt
     n_chips = jax.device_count()
+
+    # MFU + device time (VERDICT r3 #6): analytic dense-matmul FLOPs from
+    # the task's static shapes (utils/flops.py documents the convention)
+    # against the chip's bf16 peak; device_step_ms is the profiler
+    # device-plane module-time sum when --profile-dir was given.
+    from ssrl_vit_mae_jepa_tpu.utils.flops import (
+        device_step_ms_from_trace,
+        peak_flops_per_chip,
+        task_flops_per_image,
+    )
+
+    flops_per_image = task_flops_per_image(task, ctx)
+    peak = peak_flops_per_chip(jax.devices()[0].device_kind)
+    mfu = (
+        round(flops_per_image * images_per_s / (n_chips * peak), 4)
+        if peak else None
+    )
+    device_step_ms = (
+        device_step_ms_from_trace(args.profile_dir, args.steps)
+        if args.profile_dir else None
+    )
     result = {
         "metric": f"{args.task}_pretrain_images_per_sec"
         if args.task != "classifier" else "classifier_train_images_per_sec",
@@ -147,6 +168,12 @@ def main():
         "images_per_sec_per_chip": round(images_per_s / n_chips, 1),
         "step_time_ms": round(1e3 * dt / args.steps, 3),
         "platform": jax.devices()[0].platform,
+        "flops_per_image": flops_per_image,
+        "peak_tflops": round(peak / 1e12, 1) if peak else None,
+        "mfu": mfu,
+        "device_step_ms": (
+            round(device_step_ms, 3) if device_step_ms else None
+        ),
     }
     print(json.dumps(result))
 
