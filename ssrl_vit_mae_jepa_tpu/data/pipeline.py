@@ -158,3 +158,12 @@ def device_prefetch(
                 q.get_nowait()
             except queue.Empty:
                 break
+        # a worker put in flight during the drain can still land after it;
+        # wait for the thread to exit, then re-drain so no device batch
+        # stays pinned in the queue past generator teardown
+        t.join(timeout=2.0)
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

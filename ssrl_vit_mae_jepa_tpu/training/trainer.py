@@ -196,17 +196,23 @@ class Trainer:
                 f"Epoch {epoch}: {n_steps} steps, {dt:.1f}s, "
                 f"{metrics['images_per_s']:.0f} img/s — {shown}"
             )
-            if self.callbacks is not None and self._is_main:
-                self.callbacks.on_epoch_end(
-                    epoch,
-                    metrics,
-                    self.state,
-                    meta_base={
-                        "global_step": self.global_step,
-                        "hyper_parameters": self.hyper_parameters,
-                    },
-                    weights_only_state={"params": self.state.params},
-                )
+            if self.callbacks is not None:
+                if self._is_main:
+                    self.callbacks.on_epoch_end(
+                        epoch,
+                        metrics,
+                        self.state,
+                        meta_base={
+                            "global_step": self.global_step,
+                            "hyper_parameters": self.hyper_parameters,
+                        },
+                        weights_only_state={"params": self.state.params},
+                    )
+                else:
+                    # ranks > 0: keep best_score/best_path bookkeeping in
+                    # sync without touching the filesystem (metrics are
+                    # globally reduced, so the decision matches rank 0's)
+                    self.callbacks.record_epoch(epoch, metrics)
             last_metrics = metrics
             self.logger.flush()  # TB buffers ~2 min; flush per epoch
         return last_metrics

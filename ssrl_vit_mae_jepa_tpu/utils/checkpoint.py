@@ -142,6 +142,17 @@ class CheckpointCallbacks:
         else:
             raise ValueError(f"unknown checkpoint backend {backend!r}")
 
+    def record_epoch(self, epoch: int, metrics: Dict[str, float]) -> None:
+        """Bookkeeping-only mirror of ``on_epoch_end`` for non-writing
+        processes (multihost ranks > 0): metrics are globally reduced and
+        identical on every process, so tracking best_score/best_path here
+        keeps script-side reads (e.g. printing ``callbacks.best_path``)
+        valid on every rank while only rank 0 touches the filesystem."""
+        score = metrics.get(self.monitor)
+        if score is not None and self._improved(float(score)):
+            self.best_score = float(score)
+            self.best_path = self.ckpt_dir / "best.ckpt"
+
     def _improved(self, score: float) -> bool:
         if self.best_score is None:
             return True
@@ -177,9 +188,22 @@ class CheckpointCallbacks:
                     jax.tree.leaves(device_state), jax.tree.leaves(state)
                 )
             }
+            # HARD aliasing contract: every weights_only leaf must be one of
+            # state's jax.Array objects. Falling back to np.asarray here
+            # would silently re-fetch the whole tree over the ~6 MB/s dev
+            # relay, doubling the checkpoint transfer — fail loudly instead.
+            missing = [
+                x
+                for x in jax.tree.leaves(weights_only_state)
+                if id(x) not in host_by_id
+            ]
+            assert not missing, (
+                f"{len(missing)} weights_only_state leaves do not alias the "
+                "device state's leaves; pass subtrees of `state` itself "
+                "(e.g. {'params': state.params}) so host copies are reused"
+            )
             weights_only_state = jax.tree.map(
-                lambda x: host_by_id.get(id(x), np.asarray(x)),
-                weights_only_state,
+                lambda x: host_by_id[id(x)], weights_only_state
             )
         score = metrics.get(self.monitor)
         meta = dict(meta_base)

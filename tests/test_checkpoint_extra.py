@@ -68,3 +68,48 @@ class TestCheckpointPolicies:
         assert meta["v"] == 2
         np.testing.assert_array_equal(state["a"], np.zeros(3))
         assert not p.with_suffix(".ckpt.tmp").exists()
+
+
+class TestRankBookkeeping:
+    """Non-writing ranks mirror best_score/best_path via record_epoch
+    (ADVICE r3: scripts that print trainer.callbacks.best_path run on all
+    processes and must not see a stale None on ranks > 0)."""
+
+    def test_record_epoch_tracks_best_without_writing(self, tmp_path):
+        from ssrl_vit_mae_jepa_tpu.utils.checkpoint import CheckpointCallbacks
+
+        writer = CheckpointCallbacks(tmp_path / "w", monitor="val_loss",
+                                     mode="min")
+        mirror = CheckpointCallbacks(tmp_path / "w", monitor="val_loss",
+                                     mode="min")
+        state = {"params": {"w": np.ones(3, np.float32)}}
+        for epoch, val in enumerate([1.0, 0.5, 0.8]):
+            writer.on_epoch_end(epoch, {"val_loss": val}, state,
+                                meta_base={"global_step": epoch})
+            mirror.record_epoch(epoch, {"val_loss": val})
+            assert mirror.best_score == writer.best_score
+            assert mirror.best_path == writer.best_path
+        # the mirror never touched the filesystem beyond what the writer made
+        assert (tmp_path / "w" / "best.ckpt").exists()
+        assert writer.best_score == 0.5
+
+    def test_weights_only_alias_contract_asserts(self, tmp_path):
+        """Non-aliased weights_only_state leaves fail loudly instead of
+        silently double-fetching over the relay (ADVICE r3)."""
+        import pytest as _pytest
+
+        from ssrl_vit_mae_jepa_tpu.utils.checkpoint import CheckpointCallbacks
+
+        cb = CheckpointCallbacks(tmp_path / "c", monitor="val_loss",
+                                 mode="min", periodic_every=1)
+        params = {"w": np.ones(3, np.float32)}
+        state = {"params": params}
+        # aliased: fine
+        cb.on_epoch_end(0, {"val_loss": 1.0}, state,
+                        meta_base={}, weights_only_state={"params": params})
+        # re-wrapped copy: the identity contract is broken -> assert fires
+        with _pytest.raises(AssertionError, match="alias"):
+            cb.on_epoch_end(
+                1, {"val_loss": 0.9}, state, meta_base={},
+                weights_only_state={"params": {"w": np.ones(3, np.float32)}},
+            )
