@@ -24,6 +24,12 @@ def main():
     parser.add_argument("--synthetic_train", type=int, default=5000)
     parser.add_argument("--synthetic_test", type=int, default=8000)
     parser.add_argument("--synthetic_unlabeled", type=int, default=100000)
+    parser.add_argument(
+        "--signal", type=str, default="linear", choices=["linear", "texture"],
+        help="synthetic class signal: 'linear' (pixel-decodable; plumbing "
+        "tests) or 'texture' (matched-statistics oriented gratings — the "
+        "representation-quality instrument, see data/stl10.py)",
+    )
     args = parser.parse_args()
 
     from ssrl_vit_mae_jepa_tpu.data.stl10 import download_stl10, write_synthetic_stl10
@@ -34,6 +40,7 @@ def main():
             num_train=args.synthetic_train,
             num_test=args.synthetic_test,
             num_unlabeled=args.synthetic_unlabeled,
+            class_signal=args.signal,
         )
         print(f"🧪 Synthetic STL-10 written to: {d}")
         return

@@ -135,6 +135,78 @@ def stratified_split_indices(
     return np.asarray(train_indices), np.asarray(val_indices)
 
 
+def _texture_images(rng, lab, size=IMAGE_SIZE):
+    """Class-conditional oriented-grating textures with MATCHED channel
+    statistics (VERDICT r3 #2: a class signal a linear pixel map cannot
+    decode, so frozen-representation evals keep their dynamic range on
+    synthetic data).
+
+    Class c sets only the texture's *spectral* identity — orientation
+    ``pi * (c % 5) / 5`` and frequency band (6 vs 12 cycles for c < 5 vs
+    c >= 5) — while everything first-order is class-independent:
+
+    - 3 harmonics with iid uniform random phases per image (E[cos] = 0 ⇒
+      every class has the SAME per-pixel mean), equal amplitudes across
+      classes (same variance), per-image orientation jitter ±5°;
+    - the same luminance texture is added to all 3 channels, plus a random
+      per-image channel tint drawn identically for every class.
+
+    Consequences (asserted by tests/test_data.py and measured by
+    ``scripts/evaluation/validate_instrument.py``): per-class pixel means
+    agree to ~1/sqrt(n), so a LINEAR probe on raw pixels is at chance, and
+    raw-pixel k-NN is near chance (same-class images differ by 3 random
+    phases); decoding requires phase-invariant spectral energy — a
+    nonlinear computation a trained encoder can learn.
+    """
+    m = len(lab)
+    yy, xx = np.meshgrid(
+        np.arange(size, dtype=np.float32) / size,
+        np.arange(size, dtype=np.float32) / size,
+        indexing="ij",
+    )
+
+    def gratings(theta, freq, amps, n_harmonics):
+        proj = (
+            np.cos(theta)[:, None, None] * xx[None]
+            + np.sin(theta)[:, None, None] * yy[None]
+        )
+        out = np.zeros((m, size, size), np.float32)
+        for h, amp in zip(range(1, n_harmonics + 1), amps):
+            phase = rng.uniform(0, 2 * np.pi, m).astype(np.float32)
+            out += amp * np.cos(
+                2 * np.pi * freq[:, None, None] * h * proj
+                + phase[:, None, None]
+            )
+        return out
+
+    # class texture: orientation from c % 5, frequency band from c // 5
+    theta = (np.pi * (lab % 5).astype(np.float32) / 5.0
+             + rng.uniform(-np.pi / 36, np.pi / 36, m).astype(np.float32))
+    freq = np.where(lab < 5, 6.0, 12.0).astype(np.float32)
+    tex = gratings(theta, freq, (26.0, 15.0, 10.0), 3)
+    # class-INDEPENDENT nuisance: a strong random low-frequency grating per
+    # image. Without it, top-k cosine neighbours in pixel space are the
+    # same-class images whose texture phases happen to align (cross-class
+    # spectra are orthogonal, so even zero-mean alignment noise makes the
+    # HIGHEST similarities same-class) — measured raw-pixel k-NN 100%. The
+    # nuisance dominates pairwise pixel similarity identically for every
+    # class, pushing raw-pixel k-NN to chance while leaving the class
+    # spectra fully intact for an encoder that models them.
+    n_theta = rng.uniform(0, np.pi, m).astype(np.float32)
+    n_freq = rng.uniform(1.5, 3.5, m).astype(np.float32)
+    nuisance = gratings(n_theta, n_freq, (55.0,), 1)
+    noise = rng.integers(0, 256, (m, CHANNELS, size, size), dtype=np.uint16
+                         ).astype(np.float32)
+    tint = rng.normal(0.0, 12.0, (m, CHANNELS)).astype(np.float32)
+    imgs = (
+        0.2 * noise
+        + 120.0
+        + (tex + nuisance)[:, None, :, :]
+        + tint[:, :, None, None]
+    )
+    return imgs
+
+
 def write_synthetic_stl10(
     root: str | Path,
     num_train: int = 100,
@@ -142,13 +214,25 @@ def write_synthetic_stl10(
     num_unlabeled: int = 200,
     seed: int = 0,
     class_correlated: bool = True,
+    class_signal: str = "linear",
 ) -> Path:
     """Fabricate a dataset in the exact STL-10 binary format.
 
-    With ``class_correlated`` the images carry a per-class mean color plus a
-    class-dependent spatial gradient, so a linear probe can actually learn —
-    used by the end-to-end tests.
+    ``class_signal`` selects how labels show up in pixels:
+
+    - ``"linear"`` (default): per-class mean color + class-dependent spatial
+      gradient — linearly pixel-decodable; cheap and sufficient for the
+      end-to-end plumbing tests, but it SATURATES frozen-representation
+      evals (a random encoder probes to 100%);
+    - ``"texture"``: class-conditional oriented gratings with matched
+      channel statistics (see ``_texture_images``) — the representation
+      -quality instrument for MAE-vs-JEPA ranking in this zero-egress
+      environment.
+
+    ``class_correlated=False`` forces pure noise regardless of signal.
     """
+    if class_signal not in ("linear", "texture"):
+        raise ValueError(f"unknown class_signal {class_signal!r}")
     d = Path(root) / "stl10_binary"
     d.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -162,28 +246,37 @@ def write_synthetic_stl10(
             for lo in range(0, n, chunk):
                 lab = labels[lo : lo + chunk]
                 m = len(lab)
-                imgs = rng.integers(
-                    0, 256, (m, CHANNELS, IMAGE_SIZE, IMAGE_SIZE), dtype=np.uint16
-                ).astype(np.float32)
-                if class_correlated:
-                    mean = np.stack(
-                        [
-                            50 + 20 * (lab % 5),
-                            50 + 20 * ((lab + 2) % 5),
-                            50 + 20 * ((lab + 4) % 5),
-                        ],
-                        axis=1,
-                    ).astype(np.float32)  # (m, C)
-                    sign = np.where(lab % 2 == 0, 1.0, -1.0).astype(np.float32)
-                    offset = np.where(lab % 2 == 1, 40.0, 0.0).astype(np.float32)
-                    grad = (
-                        80.0 * sign[:, None] * ramp[None, :] + offset[:, None]
-                    )  # (m, W)
-                    imgs = (
-                        0.25 * imgs
-                        + mean[:, :, None, None]
-                        + grad[:, None, None, :]
-                    )
+                if class_correlated and class_signal == "texture":
+                    imgs = _texture_images(rng, lab)
+                else:
+                    imgs = rng.integers(
+                        0, 256, (m, CHANNELS, IMAGE_SIZE, IMAGE_SIZE),
+                        dtype=np.uint16,
+                    ).astype(np.float32)
+                    if class_correlated:
+                        mean = np.stack(
+                            [
+                                50 + 20 * (lab % 5),
+                                50 + 20 * ((lab + 2) % 5),
+                                50 + 20 * ((lab + 4) % 5),
+                            ],
+                            axis=1,
+                        ).astype(np.float32)  # (m, C)
+                        sign = np.where(
+                            lab % 2 == 0, 1.0, -1.0
+                        ).astype(np.float32)
+                        offset = np.where(
+                            lab % 2 == 1, 40.0, 0.0
+                        ).astype(np.float32)
+                        grad = (
+                            80.0 * sign[:, None] * ramp[None, :]
+                            + offset[:, None]
+                        )  # (m, W)
+                        imgs = (
+                            0.25 * imgs
+                            + mean[:, :, None, None]
+                            + grad[:, None, None, :]
+                        )
                 np.clip(imgs, 0, 255).astype(np.uint8).tofile(f)
         if labeled:
             (labels + 1).astype(np.uint8).tofile(d / f"{name}_y.bin")
