@@ -61,6 +61,49 @@ def _masks(H: int, d: int, D: int, dtype):
     return [(col // d == g).astype(dtype) for g in range(H)]
 
 
+def _head_groups(H: int, d: int, D: int):
+    """Contiguous head ranges whose slots fit one 128-lane tile each.
+
+    The head-stacked score GEMM contracts over the FULL D even though each
+    row's query is nonzero only in its d-wide slot — at D=192 that is 2 MXU
+    K-passes where the useful work needs 1. When the slot layout allows it
+    (every group's column span [c0, c1) starts 128-aligned and is ≤128
+    wide), splitting the S/PV/dV/dQs/dK GEMMs per head GROUP halves the
+    K-passes (and the PV/dK N-passes) on the D=192 decoder: per image fwd
+    28 → 16 MXU tile-passes for S and for PV. Returns ``[(h0, h1, c0, c1),
+    …]`` or ``None`` when no multi-group split exists (D ≤ 128 — already
+    one tile; or a slot crosses a tile boundary, e.g. the D=144/d=24
+    encoder where head 5 spans cols 120..144)."""
+    if D <= 128:
+        return None
+    groups = []
+    h0 = 0
+    while h0 < H:
+        c0 = h0 * d
+        if c0 % 128:
+            return None
+        h1 = h0
+        while h1 < H and (h1 + 1) * d <= c0 + 128:
+            h1 += 1
+        if h1 == h0:
+            return None
+        groups.append((h0, h1, c0, h1 * d))
+        h0 = h1
+    return groups if len(groups) > 1 else None
+
+
+def _grouped(H: int, d: int, D: int):
+    """Env-gated (``SSRL_ATTN_GROUPED=1``) head-group split — OFF by
+    default until hardware-validated (kernel changes can hard-fault the
+    worker; see CLAUDE.md). Interpret-mode parity is in
+    tests/test_attention.py; the hardware smoke covers both settings."""
+    import os
+
+    if os.environ.get("SSRL_ATTN_GROUPED", "0") != "1":
+        return None
+    return _head_groups(H, d, D)
+
+
 def _spread_rows(x, masks):
     """(L, D) → (H·L, D): row block g = x ∘ mask_g."""
     return jnp.concatenate([x * m for m in masks], axis=0)
@@ -84,48 +127,120 @@ def _softmax_rows(s):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _attn_fwd_one(q_raw, k, v, *, masks, masks_f, scale, L):
-    """One image: natural-layout (L, D) q/k/v → (L, D) output."""
+def _attn_fwd_one(q_raw, k, v, *, masks, masks_f, scale, L, groups=None):
+    """One image: natural-layout (L, D) q/k/v → (L, D) output.
+
+    ``groups``: optional head-group split (``_head_groups``) — identical
+    math per group restricted to its 128-lane column span; the cross-slot
+    products the full-width GEMM computes are exact zeros, so dropping
+    them changes nothing numerically."""
     q = (q_raw.astype(jnp.float32) * scale).astype(q_raw.dtype)
-    qs = _spread_rows(q, masks)  # (H·L, D)
-    s = jax.lax.dot_general(
-        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (H·L, L)
-    p = _softmax_rows(s).astype(q_raw.dtype)
-    o_st = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(jnp.float32)  # (H·L, D)
-    return _collapse_rows(o_st, L, masks_f)
+    if groups is None:
+        qs = _spread_rows(q, masks)  # (H·L, D)
+        s = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (H·L, L)
+        p = _softmax_rows(s).astype(q_raw.dtype)
+        o_st = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(jnp.float32)  # (H·L, D)
+        return _collapse_rows(o_st, L, masks_f)
+    out_blocks = []
+    for h0, h1, c0, c1 in groups:
+        qs_g = jnp.concatenate(
+            [(q * masks[g])[:, c0:c1] for g in range(h0, h1)], axis=0
+        )  # ((h1-h0)·L, c1-c0)
+        s = jax.lax.dot_general(
+            qs_g, k[:, c0:c1], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = _softmax_rows(s).astype(q_raw.dtype)
+        o = jax.lax.dot_general(
+            p, v[:, c0:c1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        blk = None
+        for j, g in enumerate(range(h0, h1)):
+            part = o[j * L : (j + 1) * L, :] * masks_f[g][:, c0:c1]
+            blk = part if blk is None else blk + part
+        out_blocks.append(blk)
+    return jnp.concatenate(out_blocks, axis=1)
 
 
-def _attn_bwd_one(q_raw, k, v, do, *, masks, masks_f, scale, L):
-    """One image: → (dq, dk, dv), all (L, D) fp32."""
+def _attn_bwd_one(q_raw, k, v, do, *, masks, masks_f, scale, L, groups=None):
+    """One image: → (dq, dk, dv), all (L, D) fp32.
+
+    ``groups`` as in ``_attn_fwd_one``: every GEMM restricts to the group's
+    column span — cross-slot contributions are exact zeros in the
+    full-width form, so the split is numerically identical."""
     q = (q_raw.astype(jnp.float32) * scale).astype(q_raw.dtype)
-    qs = _spread_rows(q, masks)
-    s = jax.lax.dot_general(
-        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    p = _softmax_rows(s)  # (H·L, L) fp32
-    pb = p.astype(q_raw.dtype)
-    dos = _spread_rows(do, masks)  # (H·L, D)
-    # dV = Pᵀ dOs — direct natural layout
-    dv = jax.lax.dot_general(
-        pb, dos, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    # dP = dOs Vᵀ ; dS = P ∘ (dP − rowsum(dP ∘ P))
-    dp = jax.lax.dot_general(
-        dos, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(q_raw.dtype)
-    # dQs = dS K → collapse → dq (scale folded back)
-    dqs = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dq = _collapse_rows(dqs, L, masks_f) * scale
-    # dK = dSᵀ Qs — direct
-    dk = jax.lax.dot_general(
-        ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    if groups is None:
+        qs = _spread_rows(q, masks)
+        s = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = _softmax_rows(s)  # (H·L, L) fp32
+        pb = p.astype(q_raw.dtype)
+        dos = _spread_rows(do, masks)  # (H·L, D)
+        # dV = Pᵀ dOs — direct natural layout
+        dv = jax.lax.dot_general(
+            pb, dos, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dP = dOs Vᵀ ; dS = P ∘ (dP − rowsum(dP ∘ P))
+        dp = jax.lax.dot_general(
+            dos, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(q_raw.dtype)
+        # dQs = dS K → collapse → dq (scale folded back)
+        dqs = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq = _collapse_rows(dqs, L, masks_f) * scale
+        # dK = dSᵀ Qs — direct
+        dk = jax.lax.dot_general(
+            ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dq, dk, dv
+    dq_blocks, dk_blocks, dv_blocks = [], [], []
+    for h0, h1, c0, c1 in groups:
+        qs_g = jnp.concatenate(
+            [(q * masks[g])[:, c0:c1] for g in range(h0, h1)], axis=0
+        )
+        s = jax.lax.dot_general(
+            qs_g, k[:, c0:c1], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = _softmax_rows(s)
+        pb = p.astype(q_raw.dtype)
+        dos_g = jnp.concatenate(
+            [(do * masks[g])[:, c0:c1] for g in range(h0, h1)], axis=0
+        )
+        dv_blocks.append(jax.lax.dot_general(
+            pb, dos_g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+        dp = jax.lax.dot_general(
+            dos_g, v[:, c0:c1], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(
+            q_raw.dtype)
+        dqs = jax.lax.dot_general(
+            ds, k[:, c0:c1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        blk = None
+        for j, g in enumerate(range(h0, h1)):
+            part = dqs[j * L : (j + 1) * L, :] * masks_f[g][:, c0:c1]
+            blk = part if blk is None else blk + part
+        dq_blocks.append(blk * scale)
+        dk_blocks.append(jax.lax.dot_general(
+            ds, qs_g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    dq = jnp.concatenate(dq_blocks, axis=1)
+    dk = jnp.concatenate(dk_blocks, axis=1)
+    dv = jnp.concatenate(dv_blocks, axis=1)
     return dq, dk, dv
 
 
@@ -133,10 +248,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, H, d, L, scale, G):
     D = H * d
     masks = _masks(H, d, D, q_ref.dtype)
     masks_f = [m.astype(jnp.float32) for m in masks]
+    groups = _grouped(H, d, D)
     for g in range(G):  # images per grid step (amortizes grid overhead)
         o_ref[g] = _attn_fwd_one(
             q_ref[g], k_ref[g], v_ref[g],
-            masks=masks, masks_f=masks_f, scale=scale, L=L,
+            masks=masks, masks_f=masks_f, scale=scale, L=L, groups=groups,
         ).astype(o_ref.dtype)
 
 
@@ -144,10 +260,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, H, d, L, 
     D = H * d
     masks = _masks(H, d, D, q_ref.dtype)
     masks_f = [m.astype(jnp.float32) for m in masks]
+    groups = _grouped(H, d, D)
     for g in range(G):
         dq, dk, dv = _attn_bwd_one(
             q_ref[g], k_ref[g], v_ref[g], g_ref[g],
-            masks=masks, masks_f=masks_f, scale=scale, L=L,
+            masks=masks, masks_f=masks_f, scale=scale, L=L, groups=groups,
         )
         dq_ref[g] = dq.astype(dq_ref.dtype)
         dk_ref[g] = dk.astype(dk_ref.dtype)
@@ -158,11 +275,12 @@ def _fwd_qkv_kernel(qkv_ref, o_ref, *, H, d, L, scale, G):
     D = H * d
     masks = _masks(H, d, D, qkv_ref.dtype)
     masks_f = [m.astype(jnp.float32) for m in masks]
+    groups = _grouped(H, d, D)
     for g in range(G):
         x = qkv_ref[g]  # (L, 3D) — fused [q | k | v] straight from the GEMM
         o_ref[g] = _attn_fwd_one(
             x[:, :D], x[:, D : 2 * D], x[:, 2 * D :],
-            masks=masks, masks_f=masks_f, scale=scale, L=L,
+            masks=masks, masks_f=masks_f, scale=scale, L=L, groups=groups,
         ).astype(o_ref.dtype)
 
 
@@ -170,11 +288,12 @@ def _bwd_qkv_kernel(qkv_ref, g_ref, dqkv_ref, *, H, d, L, scale, G):
     D = H * d
     masks = _masks(H, d, D, qkv_ref.dtype)
     masks_f = [m.astype(jnp.float32) for m in masks]
+    groups = _grouped(H, d, D)
     for g in range(G):
         x = qkv_ref[g]
         dq, dk, dv = _attn_bwd_one(
             x[:, :D], x[:, D : 2 * D], x[:, 2 * D :], g_ref[g],
-            masks=masks, masks_f=masks_f, scale=scale, L=L,
+            masks=masks, masks_f=masks_f, scale=scale, L=L, groups=groups,
         )
         dqkv_ref[g] = jnp.concatenate([dq, dk, dv], axis=-1).astype(dqkv_ref.dtype)
 

@@ -32,6 +32,7 @@ would take the split/split_pad route (same guards), forced with
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_stacked import (
     _attn_bwd_one,
     _attn_fwd_one,
+    _grouped,
     _masks,
 )
 from ssrl_vit_mae_jepa_tpu.ops.block_pallas import (
@@ -76,12 +78,13 @@ def _chain_fwd_only_kernel(x_ref, *rest, H, d, L, scale, G, N, n):
     D = x_ref.shape[-1]
     masks = _masks(H, d, D, cast)
     masks_f = [m.astype(jnp.float32) for m in masks]
+    groups = _grouped(H, d, D)
     x = x_ref[...]
     for k in range(N):
         wk = [r[...] for r in w_refs[12 * k : 12 * k + 12]]
         x, _ = _attn_branch_fwd_body(
             x, wk[:6], masks=masks, masks_f=masks_f, scale=scale, L=L, G=G,
-            n=n, cast=cast,
+            n=n, cast=cast, groups=groups,
         )
         x = _mlp_branch_fwd_body(x, wk[6:], n=n, cast=cast)
     o_ref[...] = x
@@ -98,6 +101,7 @@ def _chain_fwd_kernel(x_ref, *rest, H, d, L, scale, G, N, n):
     D = x_ref.shape[-1]
     masks = _masks(H, d, D, cast)
     masks_f = [m.astype(jnp.float32) for m in masks]
+    groups = _grouped(H, d, D)
     x = x_ref[...]
     for k in range(N):
         wk = [r[...] for r in w_refs[12 * k : 12 * k + 12]]
@@ -105,7 +109,7 @@ def _chain_fwd_kernel(x_ref, *rest, H, d, L, scale, G, N, n):
             xin_refs[k - 1][...] = x
         x, a = _attn_branch_fwd_body(
             x, wk[:6], masks=masks, masks_f=masks_f, scale=scale, L=L, G=G,
-            n=n, cast=cast,
+            n=n, cast=cast, groups=groups,
         )
         a_refs[k][...] = a
         mid_refs[k][...] = x
@@ -127,6 +131,7 @@ def _chain_bwd_kernel(x_ref, *rest, H, d, L, scale, G, N, n):
     D = x_ref.shape[-1]
     masks = _masks(H, d, D, cast)
     masks_f = [m.astype(jnp.float32) for m in masks]
+    groups = _grouped(H, d, D)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -175,6 +180,7 @@ def _chain_bwd_kernel(x_ref, *rest, H, d, L, scale, G, N, n):
             dq, dk, dv = _attn_bwd_one(
                 qkv[rows, :D], qkv[rows, D : 2 * D], qkv[rows, 2 * D :],
                 da[rows], masks=masks, masks_f=masks_f, scale=scale, L=L,
+                groups=groups,
             )
             dqkv_parts.append(jnp.concatenate([dq, dk, dv], axis=-1))
         dqkv = jnp.concatenate(dqkv_parts, axis=0) if G > 1 else dqkv_parts[0]
@@ -326,7 +332,20 @@ _fused_block_chain.defvjp(
 
 
 @functools.lru_cache(maxsize=None)
+def _chain_ok_keyed(B, H, L, D, F, N, dtype_name, d_real, group_env):
+    return _chain_ok_uncached(B, H, L, D, F, N, dtype_name, d_real)
+
+
 def _chain_ok(B, H, L, D, F, N, dtype_name, d_real):
+    # the verdict depends on SSRL_BLOCK_GROUP (via _flat_group), so the
+    # override participates in the cache key — same fix as block_pallas
+    return _chain_ok_keyed(
+        B, H, L, D, F, N, dtype_name, d_real,
+        os.environ.get("SSRL_BLOCK_GROUP"),
+    )
+
+
+def _chain_ok_uncached(B, H, L, D, F, N, dtype_name, d_real):
     """Shape/VMEM guard for the chain kernel.
 
     ``split_supported`` bounds ONE branch's live set; the chain kernel

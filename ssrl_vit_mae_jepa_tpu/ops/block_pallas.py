@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_stacked import (
     _attn_bwd_one,
     _attn_fwd_one,
+    _grouped,
     _masks,
 )
 
@@ -252,7 +253,7 @@ def _dot_nt(a, b):
     )
 
 
-def _block_fwd_one(x, w, *, masks, masks_f, scale, L, cast):
+def _block_fwd_one(x, w, *, masks, masks_f, scale, L, cast, groups=None):
     """One image forward. x (L, D) bf16 → (x_out, intermediates for bwd)."""
     (s1, b1, wqkv, bqkv, wp, bp, s2, b2, w1, b1f, w2, b2f) = w
     y1_f, xhat1, inv1 = _ln_fwd(x, s1, b1)
@@ -261,7 +262,7 @@ def _block_fwd_one(x, w, *, masks, masks_f, scale, L, cast):
     D = x.shape[-1]
     a = _attn_fwd_one(
         qkv[:, :D], qkv[:, D : 2 * D], qkv[:, 2 * D :],
-        masks=masks, masks_f=masks_f, scale=scale, L=L,
+        masks=masks, masks_f=masks_f, scale=scale, L=L, groups=groups,
     ).astype(cast)  # (L, D)
     p = (_dot(a, wp) + bp).astype(cast)
     x_mid = x + p
@@ -274,14 +275,15 @@ def _block_fwd_one(x, w, *, masks, masks_f, scale, L, cast):
     return x_out, (y1, qkv, a, x_mid, y2, z, h, xhat1, inv1, xhat2, inv2)
 
 
-def _block_bwd_one(x, w, dy, *, masks, masks_f, scale, L, cast):
+def _block_bwd_one(x, w, dy, *, masks, masks_f, scale, L, cast, groups=None):
     """One image backward via full in-VMEM recompute.
 
     Returns (dx bf16, twelve fp32 weight grads in parameter order).
     """
     (s1, b1, wqkv, bqkv, wp, bp, s2, b2, w1, b1f, w2, b2f) = w
     _, (y1, qkv, a, x_mid, y2, z, h, xhat1, inv1, xhat2, inv2) = _block_fwd_one(
-        x, w, masks=masks, masks_f=masks_f, scale=scale, L=L, cast=cast
+        x, w, masks=masks, masks_f=masks_f, scale=scale, L=L, cast=cast,
+        groups=groups,
     )
     g = dy.astype(cast)
     # MLP branch: x_out = x_mid + gelu(LN2(x_mid) W1 + b1) W2 + b2
@@ -303,7 +305,7 @@ def _block_bwd_one(x, w, dy, *, masks, masks_f, scale, L, cast):
     D = x.shape[-1]
     dq, dk, dv = _attn_bwd_one(
         qkv[:, :D], qkv[:, D : 2 * D], qkv[:, 2 * D :], da,
-        masks=masks, masks_f=masks_f, scale=scale, L=L,
+        masks=masks, masks_f=masks_f, scale=scale, L=L, groups=groups,
     )
     dqkv = jnp.concatenate([dq, dk, dv], axis=-1)  # (L, 3D) fp32
     dqkvc = dqkv.astype(cast)
@@ -328,9 +330,11 @@ def _fwd_kernel(x_ref, *rest, H, d, L, scale, G):
     masks = _masks(H, d, D, cast)
     masks_f = [m.astype(jnp.float32) for m in masks]
     w = tuple(r[...] for r in w_refs)
+    groups = _grouped(H, d, D)
     for g in range(G):
         x_out, _ = _block_fwd_one(
-            x_ref[g], w, masks=masks, masks_f=masks_f, scale=scale, L=L, cast=cast
+            x_ref[g], w, masks=masks, masks_f=masks_f, scale=scale, L=L,
+            cast=cast, groups=groups,
         )
         o_ref[g] = x_out.astype(o_ref.dtype)
 
@@ -352,10 +356,12 @@ def _bwd_kernel(x_ref, *rest, H, d, L, scale, G):
             r[...] = jnp.zeros_like(r)
 
     acc = None
+    groups = _grouped(H, d, D)
     for g in range(G):
         dx, grads = _block_bwd_one(
             x_ref[g], w, dy_ref[g],
             masks=masks, masks_f=masks_f, scale=scale, L=L, cast=cast,
+            groups=groups,
         )
         dx_ref[g] = dx.astype(dx_ref.dtype)
         acc = grads if acc is None else tuple(a + gr for a, gr in zip(acc, grads))
@@ -492,7 +498,8 @@ fused_block.defvjp(_fb_vjp_fwd, _fb_vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _attn_branch_fwd_body(x, w6, *, masks, masks_f, scale, L, G, n, cast):
+def _attn_branch_fwd_body(x, w6, *, masks, masks_f, scale, L, G, n, cast,
+                          groups=None):
     """Flat attn branch: x (G·L, D) → (x_out, a). SINGLE source of the
     forward math for the fwd/fwd-only/chain kernels — a numerics or
     fault-class fix here reaches all of them. Weights already prepped."""
@@ -507,7 +514,7 @@ def _attn_branch_fwd_body(x, w6, *, masks, masks_f, scale, L, G, n, cast):
         a_parts.append(
             _attn_fwd_one(
                 qkv[rows, :D], qkv[rows, D : 2 * D], qkv[rows, 2 * D :],
-                masks=masks, masks_f=masks_f, scale=scale, L=L,
+                masks=masks, masks_f=masks_f, scale=scale, L=L, groups=groups,
             ).astype(cast)
         )
     a = jnp.concatenate(a_parts, axis=0) if G > 1 else a_parts[0]
@@ -539,7 +546,7 @@ def _attn_branch_fwd_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, o_ref, a_ref,
     out, a = _attn_branch_fwd_body(
         x_ref[...], w6, masks=masks,
         masks_f=[m.astype(jnp.float32) for m in masks],
-        scale=scale, L=L, G=G, n=n, cast=cast,
+        scale=scale, L=L, G=G, n=n, cast=cast, groups=_grouped(H, d, D),
     )
     a_ref[...] = a
     o_ref[...] = out
@@ -558,7 +565,7 @@ def _attn_branch_fwd_only_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, o_ref,
     out, _ = _attn_branch_fwd_body(
         x_ref[...], w6, masks=masks,
         masks_f=[m.astype(jnp.float32) for m in masks],
-        scale=scale, L=L, G=G, n=n, cast=cast,
+        scale=scale, L=L, G=G, n=n, cast=cast, groups=_grouped(H, d, D),
     )
     o_ref[...] = out
 
@@ -588,11 +595,12 @@ def _attn_branch_bwd_kernel(x_ref, s1, b1, wqkv, bqkv, wp, bp, a_ref, g_ref,
     dbp[...] += jnp.sum(gy.astype(jnp.float32), axis=0, keepdims=True)
     da = _dot_nt(dp, wp[...]).astype(cast)
     dqkv_parts = []
+    groups = _grouped(H, d, D)
     for g in range(G):
         rows = slice(g * L, (g + 1) * L)
         dq, dk, dv = _attn_bwd_one(
             qkv[rows, :D], qkv[rows, D : 2 * D], qkv[rows, 2 * D :], da[rows],
-            masks=masks, masks_f=masks_f, scale=scale, L=L,
+            masks=masks, masks_f=masks_f, scale=scale, L=L, groups=groups,
         )
         dqkv_parts.append(jnp.concatenate([dq, dk, dv], axis=-1))
     dqkv = jnp.concatenate(dqkv_parts, axis=0) if G > 1 else dqkv_parts[0]
@@ -854,14 +862,30 @@ def _mb_bwd(d_real, res, g):
 _fused_mlp_branch.defvjp(_mb_fwd, _mb_bwd)
 
 
+# The verdicts depend on the SSRL_BLOCK_GROUP env override (via
+# _group/_flat_group), so the override participates in the cache key —
+# otherwise changing it mid-process would reuse a VMEM verdict computed at
+# a different G than the one the kernel actually launches with.
 @functools.lru_cache(maxsize=None)
-def _supported_cached(B, H, L, D, F, dtype_name):
+def _supported_cached_keyed(B, H, L, D, F, dtype_name, group_env):
     return supported(B, H, L, D, F, dtype_name)
 
 
+def _supported_cached(B, H, L, D, F, dtype_name):
+    return _supported_cached_keyed(
+        B, H, L, D, F, dtype_name, os.environ.get("SSRL_BLOCK_GROUP")
+    )
+
+
 @functools.lru_cache(maxsize=None)
-def _split_supported_cached(B, H, L, D, F, dtype_name, d_real=None):
+def _split_supported_cached_keyed(B, H, L, D, F, dtype_name, d_real, group_env):
     return split_supported(B, H, L, D, F, dtype_name, d_real)
+
+
+def _split_supported_cached(B, H, L, D, F, dtype_name, d_real=None):
+    return _split_supported_cached_keyed(
+        B, H, L, D, F, dtype_name, d_real, os.environ.get("SSRL_BLOCK_GROUP")
+    )
 
 
 # Lane-tile width: sub-lane model dims (D < 128) are zero-padded up to this

@@ -80,6 +80,45 @@ def main():
         ok &= good
         print(f"Block B={B:4d} L={L:3d} D={D:3d} H={H}  loss-rel {rel:.2e}  "
               f"worst-grad-rel {gerr:.2e}  {'OK' if good else 'MISMATCH'}")
+    # ---- head-group-split attention core (SSRL_ATTN_GROUPED=1): the
+    # round-4 score-lane lever. Only the D=192 decoder geometry activates
+    # (slots align to the 128-lane tile); run it fwd+bwd at small and
+    # reference batch BEFORE flipping the default — a Mosaic lowering
+    # difference here is exactly the hard-fault class this smoke exists for.
+    import os
+
+    os.environ["SSRL_ATTN_GROUPED"] = "1"
+    try:
+        for B, L, D, H in [(64, 145, 192, 6), (2000, 145, 192, 6)]:
+            x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.bfloat16)
+            g = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+            auto = Block(D, H, dtype=jnp.bfloat16, attn_impl="auto")
+            ref = Block(D, H, dtype=jnp.bfloat16, attn_impl="xla")
+            params = jax.jit(ref.init)(jax.random.key(0), x)
+
+            def loss(blk):
+                return lambda p, x, g: (
+                    blk.apply(p, x).astype(jnp.float32) * g
+                ).sum()
+
+            lf, gf = jax.jit(jax.value_and_grad(loss(auto)))(params, x, g)
+            lr, gr = jax.jit(jax.value_and_grad(loss(ref)))(params, x, g)
+            lfwd = float(jax.jit(loss(auto))(params, x, g))
+            fwd_rel = abs(lfwd - float(lr)) / max(1.0, abs(float(lr)))
+            rel = max(
+                abs(float(lf) - float(lr)) / max(1.0, abs(float(lr))), fwd_rel
+            )
+            gerr = max(
+                float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+                      / (jnp.max(jnp.abs(b.astype(jnp.float32))) + 1e-6))
+                for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr))
+            )
+            good = rel < 2e-2 and gerr < 2e-2
+            ok &= good
+            print(f"Grouped B={B:4d} L={L:3d} D={D:3d} H={H}  loss-rel {rel:.2e}  "
+                  f"worst-grad-rel {gerr:.2e}  {'OK' if good else 'MISMATCH'}")
+    finally:
+        os.environ.pop("SSRL_ATTN_GROUPED", None)
     # ---- weight-resident chain kernel (ops/block_chain.py): whole stacks
     # per pallas_call. (B, L, D, H, N): MAE encoder (depth 4), MAE decoder
     # (depth 2), JEPA target encoder, JEPA predictor (lane-padded D=96),

@@ -273,3 +273,84 @@ class TestImplValidation:
             block_impl(4, 145, 144, 6, 576, jnp.bfloat16, "XLA")
         with pytest.raises(ValueError, match="unknown attn_impl"):
             block_impl(4, 145, 144, 6, 576, jnp.bfloat16, "spit")
+
+
+class TestHeadGroupSplit:
+    """Head-group-split attention core (SSRL_ATTN_GROUPED=1): identical
+    numerics to the full-width form — cross-slot products are exact zeros —
+    with ~half the MXU K-passes on the D=192 decoder geometry."""
+
+    def test_head_groups_policy(self):
+        from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_stacked import (
+            _head_groups,
+        )
+
+        # decoder: slots 0..128 (heads 0-3) and 128..192 (heads 4-5)
+        assert _head_groups(6, 32, 192) == [(0, 4, 0, 128), (4, 6, 128, 192)]
+        # encoder: head 5's slot crosses the 128 boundary → no split
+        assert _head_groups(6, 24, 144) is None
+        # single tile → no split needed
+        assert _head_groups(6, 16, 128) is None
+        assert _head_groups(4, 8, 32) is None
+        # 2 tiles, 2 heads, aligned
+        assert _head_groups(2, 128, 256) == [(0, 1, 0, 128), (1, 2, 128, 256)]
+
+    @pytest.mark.parametrize("B,H,L,d", [(2, 6, 145, 32), (2, 2, 16, 128)])
+    def test_grouped_stacked_matches_xla(self, B, H, L, d, monkeypatch):
+        from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_stacked import (
+            mha_stacked,
+        )
+
+        monkeypatch.setenv("SSRL_ATTN_GROUPED", "1")
+        D = H * d
+        q, k, v = (_rand((B, L, D), s) for s in range(3))
+        g = _rand((B, L, D), 7)
+        ref = _ref_natural(q, k, v, H)
+
+        def loss(fn):
+            return lambda q, k, v: jnp.sum(fn(q, k, v) * g)
+
+        with pltpu.force_tpu_interpret_mode():
+            out = mha_stacked(q, k, v, H)
+            grads = jax.grad(
+                loss(lambda q, k, v: mha_stacked(q, k, v, H)),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        ref_grads = jax.grad(
+            loss(lambda q, k, v: _ref_natural(q, k, v, H)), argnums=(0, 1, 2)
+        )(q, k, v)
+        for a, b in zip(ref_grads, grads):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
+
+    def test_grouped_fused_block_matches_ungrouped(self, monkeypatch):
+        """The production fused attn-branch kernel, grouped vs baseline,
+        bitwise-comparable numerics at the decoder shape."""
+        from ssrl_vit_mae_jepa_tpu.ops.block_pallas import fused_attn_branch
+
+        B, L, D, H = 8, 145, 192, 6
+        x = _rand((B, L, D), 1)
+        params = [
+            jnp.ones((D,)), jnp.zeros((D,)),               # ln scale/bias
+            _rand((D, 3 * D), 2) * 0.05, jnp.zeros((3 * D,)),
+            _rand((D, D), 3) * 0.05, jnp.zeros((D,)),
+        ]
+        g = _rand((B, L, D), 9)
+
+        def run():
+            def f(x, *p):
+                return jnp.sum(fused_attn_branch(x, *p, H) * g)
+
+            with pltpu.force_tpu_interpret_mode():
+                out = fused_attn_branch(x, *params, H)
+                grads = jax.grad(f, argnums=(0, 1, 3, 5))(x, *params)
+            return out, grads
+
+        monkeypatch.setenv("SSRL_ATTN_GROUPED", "0")
+        base_out, base_grads = run()
+        monkeypatch.setenv("SSRL_ATTN_GROUPED", "1")
+        grp_out, grp_grads = run()
+        np.testing.assert_allclose(
+            np.asarray(grp_out), np.asarray(base_out), atol=1e-5)
+        for a, b in zip(base_grads, grp_grads):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
