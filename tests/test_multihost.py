@@ -107,6 +107,58 @@ def test_two_process_training_matches_single_process(tmp_path, synthetic_stl10_d
 
 
 @pytest.mark.slow
+def test_two_process_jepa_ema_replicated(tmp_path, synthetic_stl10_dir):
+    """One JEPA epoch across two REAL jax.distributed processes: the EMA
+    target tower (TrainState.extra) must end replicated-consistent — both
+    ranks apply the same psum-ed update and EMA blend — and the collapse
+    telemetry must come out of the sharded step finite and identical."""
+    port = _free_port()
+    workers = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.update({
+            "PYTHONPATH": str(REPO),
+            "SSRL_COORDINATOR": f"127.0.0.1:{port}",
+            "SSRL_NUM_PROCESSES": "2",
+            "SSRL_PROCESS_ID": str(pid),
+            "SSRL_WORKER_MODE": "jepa",
+        })
+        workers.append(subprocess.Popen(
+            [sys.executable, str(REPO / "tests/_multihost_worker.py"),
+             str(synthetic_stl10_dir), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    try:
+        outs = [w.communicate(timeout=600) for w in workers]
+    finally:
+        for w in workers:
+            if w.poll() is None:
+                w.kill()
+
+    def _val(out, key):
+        line = [x for x in out.splitlines() if x.startswith(f"{key}=")]
+        assert line, (key, out)
+        return float(line[0].split("=")[1])
+
+    rows = []
+    for w, (out, errtxt) in zip(workers, outs):
+        assert w.returncode == 0, f"worker failed:\n{out[-2000:]}\n{errtxt[-3000:]}"
+        rows.append({
+            "loss": _val(out, "MULTIHOST_TRAIN_LOSS"),
+            "pred_std": _val(out, "MULTIHOST_PRED_STD"),
+            "ema": _val(out, "MULTIHOST_EMA_CHECKSUM"),
+            "online": _val(out, "MULTIHOST_ONLINE_CHECKSUM"),
+        })
+    for key in ("loss", "pred_std", "ema", "online"):
+        assert rows[0][key] == pytest.approx(rows[1][key], abs=1e-9), (key, rows)
+        assert np.isfinite(rows[0][key]), (key, rows)
+    # the EMA tower lags the online encoder (momentum < 1): checksums differ
+    assert rows[0]["ema"] != pytest.approx(rows[0]["online"], abs=1e-12), rows
+
+
+@pytest.mark.slow
 def test_two_process_factory_loaders_shard(tmp_path, synthetic_stl10_dir):
     """The CLI loader factories, under REAL jax.distributed: each process
     gets a disjoint index shard at global_batch/2 rows, the shards cover
