@@ -38,6 +38,43 @@ from ssrl_vit_mae_jepa_tpu.ops.patches import patchify
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
 
 
+def _platform() -> str:
+    import jax
+
+    try:
+        return jax.devices()[0].platform
+    except Exception:
+        return "cpu"
+
+
+def _dot_dense(x, w, b, dtype):
+    """``nn.Dense``'s promote-then-matmul, on raw params."""
+    return jnp.dot(x.astype(dtype), w.astype(dtype)) + b.astype(dtype)
+
+
+class _PatchEmbedParams(nn.Module):
+    """Declares the patch-embed Dense parameters and returns them raw.
+
+    Same names ("kernel"/"bias"), shapes, inits, and fp32 storage as the
+    ``nn.Dense(name="patch_embed")`` it replaces, so checkpoints and torch
+    interop are byte-identical — but the VALUES are exposed so the caller
+    can route them either through the unfused matmul (exactly what Dense
+    computed) or the fused Pallas prologue (ops/embed_pallas.py)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features), jnp.float32,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        return w, b
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
@@ -371,21 +408,38 @@ class VisionTransformer(nn.Module):
         D = self.embed_dim
 
         patches = patchify(images.astype(self.dtype), self.patch_size)
-        x = nn.Dense(D, dtype=self.dtype, name="patch_embed")(patches)
+        Pc = patches.shape[-1]
+        w_pe, b_pe = _PatchEmbedParams(D, name="patch_embed")(Pc)
 
         cls_token = self.param("cls_token", trunc_normal_init, (1, 1, D), jnp.float32)
         pos_embed = self.param(
             "pos_embed", trunc_normal_init, (1, self.sequence_length, D), jnp.float32
         )
-        cls = jnp.broadcast_to(cls_token.astype(self.dtype), (B, 1, D))
-        x = jnp.concatenate([cls, x], axis=1)
-        x = x + pos_embed.astype(self.dtype)
+        from ssrl_vit_mae_jepa_tpu.ops.embed_pallas import (
+            fused_patch_embed, use_fused_embed,
+        )
 
-        if idx_keep is not None:
-            # one-hot-matmul backward: the gather VJP is a scatter-add
-            # into (B, L, D); as an MXU contraction it is ~1.5 ms/step
-            # cheaper at B=384 than XLA's scatter (docs/PERFORMANCE.md)
-            x = get_at_index_mm(x, idx_keep)
+        K = None if idx_keep is None else idx_keep.shape[-1]
+        if use_fused_embed(
+            _platform(), B, self.num_patches, Pc, D, K
+        ):
+            # embed GEMM + CLS + pos + mask gather in one VMEM pass: only
+            # the (B, K, D) kept tokens ever reach HBM (env-gated;
+            # ops/embed_pallas.py)
+            x = fused_patch_embed(
+                patches, w_pe, b_pe, cls_token, pos_embed, idx_keep
+            )
+        else:
+            # unfused chain — computes exactly what nn.Dense(dtype) did
+            x = _dot_dense(patches, w_pe, b_pe, self.dtype)
+            cls = jnp.broadcast_to(cls_token.astype(self.dtype), (B, 1, D))
+            x = jnp.concatenate([cls, x], axis=1)
+            x = x + pos_embed.astype(self.dtype)
+            if idx_keep is not None:
+                # one-hot-matmul backward: the gather VJP is a scatter-add
+                # into (B, L, D); as an MXU contraction it is ~1.5 ms/step
+                # cheaper at B=384 than XLA's scatter (docs/PERFORMANCE.md)
+                x = get_at_index_mm(x, idx_keep)
 
         hidden = int(D * self.mlp_ratio)
         param_mods = [

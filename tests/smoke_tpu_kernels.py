@@ -119,6 +119,62 @@ def main():
                   f"worst-grad-rel {gerr:.2e}  {'OK' if good else 'MISMATCH'}")
     finally:
         os.environ.pop("SSRL_ATTN_GROUPED", None)
+    # ---- fused patch-embed prologue (SSRL_FUSED_EMBED=1, ops/embed_pallas):
+    # embed GEMM + CLS + pos + mask gather in one kernel. Production
+    # geometry is (N=144, Pc=192, D=144) with K=37 (MAE masked encode) or
+    # K=None (classifier full sequence); batch-dependence per the D<128
+    # fault history means the reference batch must be covered too.
+    from ssrl_vit_mae_jepa_tpu.ops.embed_pallas import fused_patch_embed
+
+    for B, N, Pc, D, K in [(64, 144, 192, 144, 37), (768, 144, 192, 144, 37),
+                           (2000, 144, 192, 144, 37),
+                           (768, 144, 192, 144, None)]:
+        L = N + 1
+        patches = jnp.asarray(rng.standard_normal((B, N, Pc)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((Pc, D)) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((D,)) * 0.05, jnp.float32)
+        cls = jnp.asarray(rng.standard_normal((1, 1, D)) * 0.02, jnp.float32)
+        pos = jnp.asarray(rng.standard_normal((1, L, D)) * 0.02, jnp.float32)
+        idx = None
+        if K is not None:
+            idx = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.int32),
+                 jnp.argsort(
+                     jnp.asarray(rng.standard_normal((B, N)), jnp.float32),
+                     axis=-1,
+                 )[:, : K - 1].astype(jnp.int32) + 1],
+                axis=-1,
+            )
+        gy = jnp.asarray(
+            rng.standard_normal((B, K if K else L, D)), jnp.float32
+        )
+
+        def fused_loss(patches, w, b, cls, pos, gy, idx=None):
+            o = fused_patch_embed(patches, w, b, cls, pos, idx)
+            return (o.astype(jnp.float32) * gy).sum()
+
+        def ref_loss(patches, w, b, cls, pos, gy, idx=None):
+            dt = patches.dtype
+            x = jnp.dot(patches, w.astype(dt)) + b.astype(dt)
+            cb = jnp.broadcast_to(cls.astype(dt), (B, 1, D))
+            x = jnp.concatenate([cb, x], axis=1) + pos.astype(dt)
+            if idx is not None:
+                x = jnp.take_along_axis(x, idx[..., None], axis=1)
+            return (x.astype(jnp.float32) * gy).sum()
+
+        args = (patches, w, b, cls, pos, gy) + (() if idx is None else (idx,))
+        lf, gf = jax.jit(jax.value_and_grad(fused_loss, argnums=(0, 1, 2, 3, 4)))(*args)
+        lr, gr = jax.jit(jax.value_and_grad(ref_loss, argnums=(0, 1, 2, 3, 4)))(*args)
+        rel = abs(float(lf) - float(lr)) / max(1.0, abs(float(lr)))
+        gerr = max(
+            float(jnp.max(jnp.abs(a.astype(jnp.float32) - c.astype(jnp.float32)))
+                  / (jnp.max(jnp.abs(c.astype(jnp.float32))) + 1e-6))
+            for a, c in zip(jax.tree.leaves(gf), jax.tree.leaves(gr))
+        )
+        good = rel < 2e-2 and gerr < 2e-2
+        ok &= good
+        print(f"Embed B={B:4d} N={N} Pc={Pc} D={D} K={K}  loss-rel {rel:.2e}  "
+              f"worst-grad-rel {gerr:.2e}  {'OK' if good else 'MISMATCH'}")
     # ---- weight-resident chain kernel (ops/block_chain.py): whole stacks
     # per pallas_call. (B, L, D, H, N): MAE encoder (depth 4), MAE decoder
     # (depth 2), JEPA target encoder, JEPA predictor (lane-padded D=96),

@@ -4,9 +4,15 @@
 # back it runs, in order:
 #   1. kernel smoke (tests/smoke_tpu_kernels.py) — MANDATORY before anything
 #      long-running: sub-lane-tile Pallas kernels can hard-fault the worker
-#      (CLAUDE.md "Environment gotchas").
+#      (CLAUDE.md "Environment gotchas"). Covers the round-4 levers too
+#      (head-group-split attention, fused patch-embed prologue).
 #   2. the three driver benches on the shard_map-wrapped default step
 #      (HEAD), with profiles.
+#   3. A/B benches for the env-gated round-4 levers (keep/reject verdicts
+#      for docs/PERFORMANCE.md): SSRL_ATTN_GROUPED=1 (MAE — only the D=192
+#      decoder geometry activates) and SSRL_FUSED_EMBED=1 (all tasks).
+#   4. the MAE-vs-JEPA representation-ranking study on the texture dataset
+#      (tools/rank_study.sh, VERDICT r3 #2).
 # Results land in outputs/hw/watch/ inside the repo so they survive /tmp
 # wipes and are committable. Run as:
 #   nohup bash tools/tpu_watch.sh > /dev/null 2>&1 &
@@ -27,7 +33,7 @@ print('TPU OK', float(jnp.sum(jnp.ones((8,8)))))" > "$OUT/probe.log" 2>&1; then
 done
 
 echo "=== smoke $(date -u) ===" >> "$LOG"
-if timeout 1800 python tests/smoke_tpu_kernels.py >> "$LOG" 2>&1; then
+if timeout 2700 python tests/smoke_tpu_kernels.py >> "$LOG" 2>&1; then
   for task in mae jepa classifier; do
     echo "=== bench $task $(date -u) ===" >> "$LOG"
     timeout 900 python bench.py --task "$task" >> "$LOG" 2>&1
@@ -37,7 +43,19 @@ if timeout 1800 python tests/smoke_tpu_kernels.py >> "$LOG" 2>&1; then
     timeout 900 python bench.py --task "$task" \
       --profile-dir "$OUT/prof_$task" >> "$LOG" 2>&1
   done
+  echo "=== A/B grouped attention (mae) $(date -u) ===" >> "$LOG"
+  SSRL_ATTN_GROUPED=1 timeout 900 python bench.py --task mae >> "$LOG" 2>&1
+  for task in mae jepa classifier; do
+    echo "=== A/B fused embed ($task) $(date -u) ===" >> "$LOG"
+    SSRL_FUSED_EMBED=1 timeout 900 python bench.py --task "$task" \
+      >> "$LOG" 2>&1
+  done
+  echo "=== A/B grouped+embed (mae) $(date -u) ===" >> "$LOG"
+  SSRL_ATTN_GROUPED=1 SSRL_FUSED_EMBED=1 timeout 900 python bench.py \
+    --task mae >> "$LOG" 2>&1
+  echo "=== rank study $(date -u) ===" >> "$LOG"
+  bash tools/rank_study.sh >> "$LOG" 2>&1
 else
-  echo "SMOKE FAILED - benches skipped" >> "$LOG"
+  echo "SMOKE FAILED - benches and study skipped" >> "$LOG"
 fi
 echo "=== watch done $(date -u) ===" >> "$LOG"
