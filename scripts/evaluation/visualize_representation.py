@@ -4,8 +4,10 @@ Reference contract (``scripts/evaluation/visualize_representation.py``):
 load an encoder with prefix detection, extract features with pooling
 ``cls`` or ``mean`` — the viz mean pool EXCLUDES the CLS token (reference
 ``:87-96``; quirk Q6, unlike the classifier head's mean pool) —
-normalization ``none``/``l2``/``channel``, project to 2-D with UMAP (gated;
-not in this image) or t-SNE, and save a global scatter plus 10
+normalization ``none``/``l2``/``channel``, project to 2-D with UMAP
+(umap-learn when installed, else the built-in clean-room numpy UMAP in
+``utils/umap_np.py`` — the reference default runs either way) or t-SNE,
+and save a global scatter plus 10
 class-vs-rest plots to ``assets/visualizations/``.
 """
 
@@ -71,12 +73,17 @@ def project_2d(feats, method="tsne", seed=73):
     if method == "umap":
         try:
             import umap  # optional; not in this image
-        except ImportError as e:
-            raise SystemExit(
-                "--method umap requires the umap-learn package, which is not "
-                "installed; install it or pass --method tsne explicitly"
-            ) from e
-        return umap.UMAP(random_state=seed).fit_transform(feats)
+
+            return umap.UMAP(random_state=seed).fit_transform(feats)
+        except ImportError:
+            # clean-room numpy UMAP (paper algorithm) so the reference's
+            # default method executes without umap-learn — see
+            # utils/umap_np.py
+            from ssrl_vit_mae_jepa_tpu.utils.umap_np import umap_embed
+
+            print("ℹ️  umap-learn not installed — using the built-in "
+                  "numpy UMAP (ssrl_vit_mae_jepa_tpu.utils.umap_np)")
+            return umap_embed(feats, random_state=seed)
     from sklearn.manifold import TSNE
 
     perplexity = min(30.0, max(2.0, (len(feats) - 1) / 3))

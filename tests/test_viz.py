@@ -88,16 +88,22 @@ class TestRepresentation:
         xy = project_2d(feats[:30], method="tsne")
         assert xy.shape == (30, 2)
 
-    def test_umap_fails_loudly_when_absent(self):
-        """--method umap must not silently degrade to t-SNE."""
-        import importlib.util
-
+    def test_umap_runs_without_umap_learn(self):
+        """--method umap (the reference default) executes via the built-in
+        numpy UMAP when umap-learn is absent, and separates clusters."""
         from scripts.evaluation.visualize_representation import project_2d
 
-        if importlib.util.find_spec("umap") is not None:
-            pytest.skip("umap-learn installed; loud-failure path not reachable")
-        with pytest.raises(SystemExit, match="umap-learn"):
-            project_2d(np.zeros((10, 4), np.float32), method="umap")
+        rng = np.random.default_rng(0)
+        centers = rng.normal(0, 6, (3, 16))
+        feats = np.concatenate(
+            [c + rng.normal(0, 0.4, (40, 16)) for c in centers]
+        ).astype(np.float32)
+        y = np.repeat(np.arange(3), 40)
+        xy = project_2d(feats, method="umap")
+        assert xy.shape == (120, 2)
+        cents = np.stack([xy[y == c].mean(0) for c in range(3)])
+        pred = np.argmin(((xy[:, None] - cents[None]) ** 2).sum(-1), axis=1)
+        assert (pred == y).mean() > 0.9
 
     def test_mean_pool_excludes_cls(self, small_cfg, mae_ckpt, synthetic_stl10_dir):
         """Viz mean pool excludes CLS (quirk Q6) — differs from classifier."""
