@@ -17,6 +17,7 @@ at the offending case (named in the output), which is the diagnostic.
 Not collected by pytest (module-level guard requires a TPU).
 """
 
+import argparse
 import sys
 from pathlib import Path
 
@@ -29,6 +30,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--section", default="all",
+        choices=["all", "default", "grouped", "embed", "chain"],
+        help="which kernel family to smoke. 'default' = the hardware-"
+        "validated production paths only — run (and bench) it BEFORE the "
+        "env-gated new-lever sections, whose failure mode is a hard device "
+        "fault that takes the worker down for ~10-25 min",
+    )
+    args = parser.parse_args()
+    sections = (
+        {"default", "grouped", "embed", "chain"}
+        if args.section == "all" else {args.section}
+    )
     if jax.devices()[0].platform != "tpu":
         print("no TPU backend — smoke skipped")
         return 0
@@ -49,7 +64,7 @@ def main():
     cases = [(64, 37, 144, 6), (64, 145, 192, 6), (64, 145, 144, 6),
              (64, 45, 144, 6), (64, 145, 96, 6), (2000, 145, 96, 6),
              (2000, 145, 144, 6), (100, 145, 96, 6)]
-    for B, L, D, H in cases:
+    for B, L, D, H in (cases if "default" in sections else []):
         x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.bfloat16)
         g = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
         auto = Block(D, H, dtype=jnp.bfloat16, attn_impl="auto")
@@ -89,7 +104,10 @@ def main():
 
     os.environ["SSRL_ATTN_GROUPED"] = "1"
     try:
-        for B, L, D, H in [(64, 145, 192, 6), (2000, 145, 192, 6)]:
+        for B, L, D, H in (
+            [(64, 145, 192, 6), (2000, 145, 192, 6)]
+            if "grouped" in sections else []
+        ):
             x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.bfloat16)
             g = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
             auto = Block(D, H, dtype=jnp.bfloat16, attn_impl="auto")
@@ -126,9 +144,9 @@ def main():
     # fault history means the reference batch must be covered too.
     from ssrl_vit_mae_jepa_tpu.ops.embed_pallas import fused_patch_embed
 
-    for B, N, Pc, D, K in [(64, 144, 192, 144, 37), (768, 144, 192, 144, 37),
-                           (2000, 144, 192, 144, 37),
-                           (768, 144, 192, 144, None)]:
+    embed_cases = [(64, 144, 192, 144, 37), (768, 144, 192, 144, 37),
+                   (2000, 144, 192, 144, 37), (768, 144, 192, 144, None)]
+    for B, N, Pc, D, K in (embed_cases if "embed" in sections else []):
         L = N + 1
         patches = jnp.asarray(rng.standard_normal((B, N, Pc)), jnp.bfloat16)
         w = jnp.asarray(rng.standard_normal((Pc, D)) * 0.05, jnp.float32)
@@ -190,7 +208,7 @@ def main():
         (64, 37, 144, 6, 4), (64, 145, 192, 6, 2), (64, 145, 144, 6, 4),
         (64, 145, 96, 6, 2), (2000, 145, 96, 6, 2), (2000, 145, 144, 6, 4),
     ]
-    for B, L, D, H, N in chain_cases:
+    for B, L, D, H, N in (chain_cases if "chain" in sections else []):
         F = 4 * D
         x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.bfloat16)
         g = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)

@@ -32,8 +32,16 @@ print('TPU OK', float(jnp.sum(jnp.ones((8,8)))))" > "$OUT/probe.log" 2>&1; then
   sleep 300
 done
 
-echo "=== smoke $(date -u) ===" >> "$LOG"
-if timeout 2700 python tests/smoke_tpu_kernels.py >> "$LOG" 2>&1; then
+# Ordering rationale: the default production path (hardware-validated in
+# round 3) is smoked and BENCHED first — the must-have numbers — before
+# any NEW env-gated kernel section runs, because a new section's failure
+# mode is a hard device fault (~10-25 min worker outage) that would
+# otherwise take the headline benches down with it.
+echo "=== smoke (default sections) $(date -u) ===" >> "$LOG"
+if timeout 1800 python tests/smoke_tpu_kernels.py --section default \
+    >> "$LOG" 2>&1 \
+   && timeout 1800 python tests/smoke_tpu_kernels.py --section chain \
+    >> "$LOG" 2>&1; then
   for task in mae jepa classifier; do
     echo "=== bench $task $(date -u) ===" >> "$LOG"
     timeout 900 python bench.py --task "$task" >> "$LOG" 2>&1
@@ -43,16 +51,30 @@ if timeout 2700 python tests/smoke_tpu_kernels.py >> "$LOG" 2>&1; then
     timeout 900 python bench.py --task "$task" \
       --profile-dir "$OUT/prof_$task" >> "$LOG" 2>&1
   done
-  echo "=== A/B grouped attention (mae) $(date -u) ===" >> "$LOG"
-  SSRL_ATTN_GROUPED=1 timeout 900 python bench.py --task mae >> "$LOG" 2>&1
-  for task in mae jepa classifier; do
-    echo "=== A/B fused embed ($task) $(date -u) ===" >> "$LOG"
-    SSRL_FUSED_EMBED=1 timeout 900 python bench.py --task "$task" \
-      >> "$LOG" 2>&1
-  done
-  echo "=== A/B grouped+embed (mae) $(date -u) ===" >> "$LOG"
-  SSRL_ATTN_GROUPED=1 SSRL_FUSED_EMBED=1 timeout 900 python bench.py \
-    --task mae >> "$LOG" 2>&1
+  echo "=== smoke (grouped) $(date -u) ===" >> "$LOG"
+  if timeout 1800 python tests/smoke_tpu_kernels.py --section grouped \
+      >> "$LOG" 2>&1; then
+    echo "=== A/B grouped attention (mae) $(date -u) ===" >> "$LOG"
+    SSRL_ATTN_GROUPED=1 timeout 900 python bench.py --task mae >> "$LOG" 2>&1
+  else
+    echo "GROUPED SMOKE FAILED - its A/B skipped" >> "$LOG"
+    sleep 1500  # give a possibly-faulted worker time to recover
+  fi
+  echo "=== smoke (embed) $(date -u) ===" >> "$LOG"
+  if timeout 1800 python tests/smoke_tpu_kernels.py --section embed \
+      >> "$LOG" 2>&1; then
+    for task in mae jepa classifier; do
+      echo "=== A/B fused embed ($task) $(date -u) ===" >> "$LOG"
+      SSRL_FUSED_EMBED=1 timeout 900 python bench.py --task "$task" \
+        >> "$LOG" 2>&1
+    done
+    echo "=== A/B grouped+embed (mae) $(date -u) ===" >> "$LOG"
+    SSRL_ATTN_GROUPED=1 SSRL_FUSED_EMBED=1 timeout 900 python bench.py \
+      --task mae >> "$LOG" 2>&1
+  else
+    echo "EMBED SMOKE FAILED - its A/B skipped" >> "$LOG"
+    sleep 1500
+  fi
   echo "=== rank study $(date -u) ===" >> "$LOG"
   bash tools/rank_study.sh >> "$LOG" 2>&1
 else
