@@ -92,16 +92,51 @@ def _head_groups(H: int, d: int, D: int):
     return groups if len(groups) > 1 else None
 
 
+def _head_groups_any(H: int, d: int, D: int):
+    """Greedy head grouping with spans ≤128 wide at ANY column offset.
+
+    Covers geometries the tile-aligned policy rejects — the D=144/d=24
+    encoder becomes ``[(0, 5, 0, 120), (5, 6, 120, 144)]``: group spans of
+    120 and 24 columns each pad to ONE 128-lane tile, so the S/PV/dV/dQs/
+    dK contractions drop from 2 K-tiles (D=144→256) to 1 per head block.
+    The correctness argument is identical to the aligned split (each
+    group's slots lie inside its span; everything outside is exact zeros),
+    but the unaligned VMEM value-slices are a different Mosaic lowering
+    configuration — the historical fault class involved non-tile-offset
+    lane slices — hence the separate opt-in level."""
+    if D <= 128:
+        return None
+    groups = []
+    h0 = 0
+    while h0 < H:
+        c0 = h0 * d
+        h1 = h0
+        while h1 < H and (h1 + 1) * d <= c0 + 128:
+            h1 += 1
+        if h1 == h0:
+            return None  # a single slot wider than one tile — no split
+        groups.append((h0, h1, c0, h1 * d))
+        h0 = h1
+    return groups if len(groups) > 1 else None
+
+
 def _grouped(H: int, d: int, D: int):
-    """Env-gated (``SSRL_ATTN_GROUPED=1``) head-group split — OFF by
-    default until hardware-validated (kernel changes can hard-fault the
-    worker; see CLAUDE.md). Interpret-mode parity is in
-    tests/test_attention.py; the hardware smoke covers both settings."""
+    """Env-gated head-group split — OFF by default until
+    hardware-validated (kernel changes can hard-fault the worker; see
+    CLAUDE.md). ``SSRL_ATTN_GROUPED=1``: tile-ALIGNED groups only (the
+    D=192 decoder). ``SSRL_ATTN_GROUPED=2``: aligned when they exist,
+    else any-offset spans ≤128 (also activates the D=144 encoder).
+    Interpret-mode parity is in tests/test_attention.py; the hardware
+    smoke covers every setting in its own section."""
     import os
 
-    if os.environ.get("SSRL_ATTN_GROUPED", "0") != "1":
+    flag = os.environ.get("SSRL_ATTN_GROUPED", "0")
+    if flag not in ("1", "2"):
         return None
-    return _head_groups(H, d, D)
+    groups = _head_groups(H, d, D)
+    if groups is None and flag == "2":
+        groups = _head_groups_any(H, d, D)
+    return groups
 
 
 def _spread_rows(x, masks):

@@ -33,7 +33,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--section", default="all",
-        choices=["all", "default", "grouped", "embed", "chain"],
+        choices=["all", "default", "grouped", "grouped2", "embed", "chain"],
         help="which kernel family to smoke. 'default' = the hardware-"
         "validated production paths only — run (and bench) it BEFORE the "
         "env-gated new-lever sections, whose failure mode is a hard device "
@@ -41,7 +41,7 @@ def main():
     )
     args = parser.parse_args()
     sections = (
-        {"default", "grouped", "embed", "chain"}
+        {"default", "grouped", "grouped2", "embed", "chain"}
         if args.section == "all" else {args.section}
     )
     if jax.devices()[0].platform != "tpu":
@@ -134,6 +134,47 @@ def main():
             good = rel < 2e-2 and gerr < 2e-2
             ok &= good
             print(f"Grouped B={B:4d} L={L:3d} D={D:3d} H={H}  loss-rel {rel:.2e}  "
+                  f"worst-grad-rel {gerr:.2e}  {'OK' if good else 'MISMATCH'}")
+    finally:
+        os.environ.pop("SSRL_ATTN_GROUPED", None)
+    # ---- unaligned head-group split (SSRL_ATTN_GROUPED=2): also activates
+    # on the D=144 encoder via any-offset spans — the historical fault
+    # class involved non-tile-offset lane slices, so this section is
+    # separately gated and runs encoder AND decoder geometries at small and
+    # reference batch.
+    os.environ["SSRL_ATTN_GROUPED"] = "2"
+    try:
+        for B, L, D, H in (
+            [(64, 37, 144, 6), (64, 145, 144, 6), (64, 145, 192, 6),
+             (2000, 145, 144, 6)]
+            if "grouped2" in sections else []
+        ):
+            x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.bfloat16)
+            g = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+            auto = Block(D, H, dtype=jnp.bfloat16, attn_impl="auto")
+            ref = Block(D, H, dtype=jnp.bfloat16, attn_impl="xla")
+            params = jax.jit(ref.init)(jax.random.key(0), x)
+
+            def loss(blk):
+                return lambda p, x, g: (
+                    blk.apply(p, x).astype(jnp.float32) * g
+                ).sum()
+
+            lf, gf = jax.jit(jax.value_and_grad(loss(auto)))(params, x, g)
+            lr, gr = jax.jit(jax.value_and_grad(loss(ref)))(params, x, g)
+            lfwd = float(jax.jit(loss(auto))(params, x, g))
+            fwd_rel = abs(lfwd - float(lr)) / max(1.0, abs(float(lr)))
+            rel = max(
+                abs(float(lf) - float(lr)) / max(1.0, abs(float(lr))), fwd_rel
+            )
+            gerr = max(
+                float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+                      / (jnp.max(jnp.abs(b.astype(jnp.float32))) + 1e-6))
+                for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr))
+            )
+            good = rel < 2e-2 and gerr < 2e-2
+            ok &= good
+            print(f"Grouped2 B={B:4d} L={L:3d} D={D:3d} H={H}  loss-rel {rel:.2e}  "
                   f"worst-grad-rel {gerr:.2e}  {'OK' if good else 'MISMATCH'}")
     finally:
         os.environ.pop("SSRL_ATTN_GROUPED", None)

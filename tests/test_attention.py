@@ -295,13 +295,42 @@ class TestHeadGroupSplit:
         # 2 tiles, 2 heads, aligned
         assert _head_groups(2, 128, 256) == [(0, 1, 0, 128), (1, 2, 128, 256)]
 
-    @pytest.mark.parametrize("B,H,L,d", [(2, 6, 145, 32), (2, 2, 16, 128)])
-    def test_grouped_stacked_matches_xla(self, B, H, L, d, monkeypatch):
+    def test_head_groups_any_policy(self):
+        from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_stacked import (
+            _grouped,
+            _head_groups_any,
+        )
+
+        # encoder: unaligned spans of 120 and 24 cols — each one tile
+        assert _head_groups_any(6, 24, 144) == [(0, 5, 0, 120), (5, 6, 120, 144)]
+        # decoder: greedy reproduces the aligned split
+        assert _head_groups_any(6, 32, 192) == [(0, 4, 0, 128), (4, 6, 128, 192)]
+        assert _head_groups_any(6, 16, 96) is None  # single tile
+        assert _head_groups_any(2, 192, 384) is None  # slot wider than a tile
+        # env dispatch: 1 = aligned only, 2 = aligned else any-offset
+        import os
+
+        os.environ["SSRL_ATTN_GROUPED"] = "1"
+        try:
+            assert _grouped(6, 24, 144) is None
+            assert _grouped(6, 32, 192) is not None
+            os.environ["SSRL_ATTN_GROUPED"] = "2"
+            assert _grouped(6, 24, 144) == [(0, 5, 0, 120), (5, 6, 120, 144)]
+            assert _grouped(6, 32, 192) == [(0, 4, 0, 128), (4, 6, 128, 192)]
+        finally:
+            os.environ.pop("SSRL_ATTN_GROUPED", None)
+
+    @pytest.mark.parametrize("B,H,L,d,flag", [
+        (2, 6, 145, 32, "1"), (2, 2, 16, 128, "1"),
+        (2, 6, 145, 24, "2"),  # encoder geometry via the unaligned split
+        (2, 6, 37, 24, "2"),
+    ])
+    def test_grouped_stacked_matches_xla(self, B, H, L, d, flag, monkeypatch):
         from ssrl_vit_mae_jepa_tpu.ops.attention_pallas_stacked import (
             mha_stacked,
         )
 
-        monkeypatch.setenv("SSRL_ATTN_GROUPED", "1")
+        monkeypatch.setenv("SSRL_ATTN_GROUPED", flag)
         D = H * d
         q, k, v = (_rand((B, L, D), s) for s in range(3))
         g = _rand((B, L, D), 7)
@@ -348,7 +377,41 @@ class TestHeadGroupSplit:
 
         monkeypatch.setenv("SSRL_ATTN_GROUPED", "0")
         base_out, base_grads = run()
-        monkeypatch.setenv("SSRL_ATTN_GROUPED", "1")
+        for flag in ("1", "2"):
+            monkeypatch.setenv("SSRL_ATTN_GROUPED", flag)
+            grp_out, grp_grads = run()
+            np.testing.assert_allclose(
+                np.asarray(grp_out), np.asarray(base_out), atol=1e-5)
+            for a, b in zip(base_grads, grp_grads):
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), atol=2e-5)
+
+    def test_grouped2_fused_block_encoder_matches_ungrouped(self, monkeypatch):
+        """SSRL_ATTN_GROUPED=2 activates the unaligned split on the D=144
+        encoder geometry — the shape every task runs."""
+        from ssrl_vit_mae_jepa_tpu.ops.block_pallas import fused_attn_branch
+
+        B, L, D, H = 8, 37, 144, 6
+        x = _rand((B, L, D), 1)
+        params = [
+            jnp.ones((D,)), jnp.zeros((D,)),
+            _rand((D, 3 * D), 2) * 0.05, jnp.zeros((3 * D,)),
+            _rand((D, D), 3) * 0.05, jnp.zeros((D,)),
+        ]
+        g = _rand((B, L, D), 9)
+
+        def run():
+            def f(x, *p):
+                return jnp.sum(fused_attn_branch(x, *p, H) * g)
+
+            with pltpu.force_tpu_interpret_mode():
+                out = fused_attn_branch(x, *params, H)
+                grads = jax.grad(f, argnums=(0, 1, 3, 5))(x, *params)
+            return out, grads
+
+        monkeypatch.setenv("SSRL_ATTN_GROUPED", "0")
+        base_out, base_grads = run()
+        monkeypatch.setenv("SSRL_ATTN_GROUPED", "2")
         grp_out, grp_grads = run()
         np.testing.assert_allclose(
             np.asarray(grp_out), np.asarray(base_out), atol=1e-5)

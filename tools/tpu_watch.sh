@@ -60,6 +60,18 @@ if timeout 1800 python tests/smoke_tpu_kernels.py --section default \
     echo "GROUPED SMOKE FAILED - its A/B skipped" >> "$LOG"
     sleep 1500  # give a possibly-faulted worker time to recover
   fi
+  echo "=== smoke (grouped2 — unaligned spans) $(date -u) ===" >> "$LOG"
+  if timeout 1800 python tests/smoke_tpu_kernels.py --section grouped2 \
+      >> "$LOG" 2>&1; then
+    echo "=== A/B grouped2 (mae + classifier) $(date -u) ===" >> "$LOG"
+    SSRL_ATTN_GROUPED=2 timeout 900 python bench.py --task mae >> "$LOG" 2>&1
+    SSRL_ATTN_GROUPED=2 timeout 900 python bench.py --task classifier \
+      >> "$LOG" 2>&1
+    SSRL_ATTN_GROUPED=2 timeout 900 python bench.py --task jepa >> "$LOG" 2>&1
+  else
+    echo "GROUPED2 SMOKE FAILED - its A/B skipped" >> "$LOG"
+    sleep 1500
+  fi
   echo "=== smoke (embed) $(date -u) ===" >> "$LOG"
   if timeout 1800 python tests/smoke_tpu_kernels.py --section embed \
       >> "$LOG" 2>&1; then
