@@ -78,6 +78,21 @@ class Task:
         self._train_step = None
         self._eval_step = None
 
+    def _manual_axes(self) -> frozenset:
+        """Mesh axes the shard_map makes manual: ``data`` plus every size-1
+        axis. A trivial (size-1) axis left automatic still puts the body
+        under GSPMD partitioning, and Mosaic custom calls refuse to lower
+        there ("Mosaic kernels cannot be automatically partitioned") — this
+        crashed the default step on real TPU hardware, where the production
+        mesh is {data: n, model: 1}. Only a genuinely >1 ``model`` axis
+        stays automatic (tensor-parallel matmul partitioning, XLA attn
+        path)."""
+        names = {self._axis}
+        for name, size in self._mesh.shape.items():
+            if size == 1:
+                names.add(name)
+        return frozenset(names)
+
     def _draw_sliced(self, draw, rng, local_b: int):
         """Per-example random draws invariant to the data sharding.
 
@@ -258,7 +273,7 @@ class Task:
                 mesh=mesh,
                 in_specs=(P(), P("data"), P()),
                 out_specs=(P(), P()),
-                axis_names={"data"},
+                axis_names=self._manual_axes(),
                 check_vma=False,
             )
             return f(state, batch, epoch)
@@ -284,7 +299,7 @@ class Task:
                 mesh=mesh,
                 in_specs=(P(), P(), P("data"), P()),
                 out_specs=P(),
-                axis_names={"data"},
+                axis_names=self._manual_axes(),
                 check_vma=False,
             )
             return f(params, extra, batch, rng)

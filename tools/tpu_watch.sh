@@ -39,9 +39,13 @@ done
 # otherwise take the headline benches down with it.
 echo "=== smoke (default sections) $(date -u) ===" >> "$LOG"
 if timeout 1800 python tests/smoke_tpu_kernels.py --section default \
-    >> "$LOG" 2>&1 \
-   && timeout 1800 python tests/smoke_tpu_kernels.py --section chain \
     >> "$LOG" 2>&1; then
+  # The chain kernel is forced-only ablation lineage: its smoke verdict is
+  # recorded but must NOT gate the headline benches (a tolerance mismatch
+  # there once skipped the entire queue — results.log 2026-08-19).
+  echo "=== smoke (chain — ablation lineage, non-gating) $(date -u) ===" >> "$LOG"
+  timeout 1800 python tests/smoke_tpu_kernels.py --section chain \
+    >> "$LOG" 2>&1 || echo "CHAIN SMOKE FAILED (non-gating)" >> "$LOG"
   for task in mae jepa classifier; do
     echo "=== bench $task $(date -u) ===" >> "$LOG"
     timeout 900 python bench.py --task "$task" >> "$LOG" 2>&1
