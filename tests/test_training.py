@@ -262,9 +262,11 @@ class TestMultiDevice:
         interpret mode) executes inside the data-sharded step — GSPMD could
         never partition the Mosaic custom call, it replicated the full
         global batch on every chip. Also pins DP≡single-device equivalence
-        ON the kernel path. Data-only meshes: interpret mode lowers
-        pallas_call to a host callback, which jax only supports when ALL
-        mesh axes are manual (real Mosaic kernels have no such limit)."""
+        ON the kernel path. Interpret mode lowers pallas_call to a host
+        callback, which jax only supports when ALL mesh axes are manual —
+        and real Mosaic kernels have the SAME limit ("Mosaic kernels
+        cannot be automatically partitioned"), which is why Task makes
+        every size-1 mesh axis manual (see test below)."""
         from jax.experimental.pallas import tpu as pltpu
         from jax.sharding import Mesh
 
@@ -291,6 +293,36 @@ class TestMultiDevice:
         jax.tree.map(
             lambda a, b: np.testing.assert_allclose(a, b, atol=2e-4), p8, p1
         )
+
+    def test_pallas_kernel_runs_on_production_mesh(self, synthetic_stl10_dir,
+                                                   tmp_path):
+        """Regression: the PRODUCTION mesh is (data, model) with model=1
+        (parallel/mesh.get_mesh) even single-chip. Leaving the trivial
+        model axis automatic in the shard_map kept the step body under
+        GSPMD partitioning, where Mosaic custom calls refuse to lower —
+        the default train step CRASHED on real TPU hardware
+        (outputs/hw/watch/results.log, 2026-08-19). Interpret-mode
+        pallas_call has the same all-axes-manual requirement, so forcing
+        the kernel path on the production mesh reproduces the failure
+        class on CPU: this test fails if any size-1 axis is left auto."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        cfg = small_cfg(freeze_encoder=False, learning_rate=1e-3)
+        ds = STL10(synthetic_stl10_dir, "train")
+        loader = HostLoader(ds, np.arange(16), 16, shuffle=False)
+        mesh = get_mesh()  # all 8 virtual devices: {data: 8, model: 1}
+        assert mesh.shape == {"data": 8, "model": 1}
+        task = ClassifierTask(cfg["model"], cfg["train"],
+                              dtype=jnp.float32, attn_impl="split")
+        assert task._manual_axes is not None  # set by configure_sharding
+        tr = Trainer(
+            task, 1, tmp_path / "prod_mesh", mesh=mesh, seed=73,
+            enable_checkpointing=False,
+        )
+        assert task._manual_axes() == frozenset({"data", "model"})
+        with pltpu.force_tpu_interpret_mode():
+            metrics = tr.fit(loader, None)
+        assert np.isfinite(metrics["train_loss"])
 
     @pytest.mark.slow
     def test_vma_psum_xla_bug_still_present(self):
