@@ -293,9 +293,8 @@ def main():
         # fwd-only chain kernel (eval passes / probes through forced chain)
         lfwd = float(jax.jit(chain_loss)(params, x, g))
         fwd_rel = abs(lfwd - float(lr)) / max(1.0, abs(float(lr)))
-        rel = max(
-            abs(float(lf) - float(lr)) / max(1.0, abs(float(lr))), fwd_rel
-        )
+        prim_rel = abs(float(lf) - float(lr)) / max(1.0, abs(float(lr)))
+        rel = max(prim_rel, fwd_rel)
         gerr = max(
             float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
                   / (jnp.max(jnp.abs(b.astype(jnp.float32))) + 1e-6))
@@ -308,6 +307,7 @@ def main():
         good = rel < 5e-2 and gerr < 2e-2
         ok &= good
         print(f"Chain B={B:4d} L={L:3d} D={D:3d} H={H} N={N}  loss-rel {rel:.2e}  "
+              f"(primal {prim_rel:.2e} / fwd-only {fwd_rel:.2e})  "
               f"worst-grad-rel {gerr:.2e}  {'OK' if good else 'MISMATCH'}")
     print("SMOKE", "PASS" if ok else "FAIL")
     return 0 if ok else 1
