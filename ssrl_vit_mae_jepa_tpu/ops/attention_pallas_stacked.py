@@ -121,16 +121,20 @@ def _head_groups_any(H: int, d: int, D: int):
 
 
 def _grouped(H: int, d: int, D: int):
-    """Env-gated head-group split — OFF by default until
-    hardware-validated (kernel changes can hard-fault the worker; see
-    CLAUDE.md). ``SSRL_ATTN_GROUPED=1``: tile-ALIGNED groups only (the
-    D=192 decoder). ``SSRL_ATTN_GROUPED=2``: aligned when they exist,
-    else any-offset spans ≤128 (also activates the D=144 encoder).
-    Interpret-mode parity is in tests/test_attention.py; the hardware
-    smoke covers every setting in its own section."""
+    """Head-group split — ON by default (level 2) since round 5.
+
+    Hardware-validated on v5e (outputs/hw/watch/results.log 2026-08-19):
+    grouped2 MAE 29,211 img/s (2.455x baseline) vs 28,362 ungrouped,
+    classifier 25,887 vs 25,335, all fwd+bwd smokes OK at B=64/2000 for
+    the D=144 encoder and D=192 decoder geometries. ``SSRL_ATTN_GROUPED``
+    is now the OFF-switch / level selector: ``0`` disables the split
+    entirely, ``1`` allows tile-ALIGNED groups only (the D=192 decoder),
+    ``2`` (default) also takes any-offset spans ≤128 wide (activates the
+    D=144 encoder). Interpret-mode parity is in tests/test_attention.py;
+    the hardware smoke covers every level in its own section."""
     import os
 
-    flag = os.environ.get("SSRL_ATTN_GROUPED", "0")
+    flag = os.environ.get("SSRL_ATTN_GROUPED", "2")
     if flag not in ("1", "2"):
         return None
     groups = _head_groups(H, d, D)

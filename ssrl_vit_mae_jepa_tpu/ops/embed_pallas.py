@@ -26,7 +26,11 @@ out-of-range sentinel ``L`` OUTSIDE the kernel, so every HBM→VMEM block has
 ≥128 lanes; the in-kernel selector keeps the padded rows (their one-hot is
 all-zero) and the output is value-sliced back to K rows — value slices at
 odd sizes are the proven pattern from the block kernels (L=145 rows, D=144
-lane slices).
+lane slices). The padded (B, Kp) indices are additionally reshaped to
+(B//G, G, Kp) with block (1, G, Kp): Mosaic requires a block's last TWO
+dims to be (8, 128)-divisible or full-sized, and the 2-D (G, Kp) block at
+G=2 violated that (the round-4 hardware lowering failure); leading with the
+grid-blocked dim makes both trailing dims full.
 
 Gated OFF by default behind ``SSRL_FUSED_EMBED=1`` until hardware-measured:
 interpret-mode parity lives in tests/test_embed_pallas.py, the hardware
@@ -122,7 +126,10 @@ def _fwd_kernel(p_ref, w_ref, b_ref, cp_ref, *rest, G, L, K):
         if idx_ref is None:
             o_ref[g] = full
         else:
-            sel = _selector(idx_ref[g], L, cast)  # (Kp, L)
+            # idx block is (1, G, Kp): the grid-blocked dim leads so the
+            # LAST TWO dims are full-sized — Mosaic rejects a (G, Kp)
+            # 2-D block when G % 8 != 0 (the round-4 lowering failure).
+            sel = _selector(idx_ref[0, g], L, cast)  # (Kp, L)
             o_ref[g] = _dot(sel, full).astype(cast)[:K]
 
 
@@ -146,7 +153,7 @@ def _bwd_kernel(p_ref, w_ref, *rest, G, L, K):
             dfull = gy.astype(jnp.float32)  # (L, D)
         else:
             Kp = idx_ref.shape[-1]
-            sel = _selector(idx_ref[g], L, cast)  # (Kp, L)
+            sel = _selector(idx_ref[0, g], L, cast)  # (Kp, L)
             gyp = jnp.concatenate(
                 [gy, jnp.zeros((Kp - K, gy.shape[-1]), cast)], axis=0
             )
@@ -193,10 +200,10 @@ def _fpe_fwd_impl(patches, w, b, cls, pos, idx_keep):
     ]
     in_specs = [pspec] + [_full_spec(x.shape) for x in operands[1:]]
     if idx_keep is not None:
-        idxp = _pad_idx(idx_keep, L)
+        idxp = _pad_idx(idx_keep, L).reshape(B // G, G, -1)
         operands.append(idxp)
         in_specs.append(
-            pl.BlockSpec((G, idxp.shape[-1]), lambda i: (i, 0),
+            pl.BlockSpec((1, G, idxp.shape[-1]), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
         )
     return pl.pallas_call(
@@ -245,10 +252,10 @@ def _fpe_vjp_bwd(res, g):
     operands = [patches, w.astype(jnp.float32)]
     in_specs = [pspec, _full_spec((Pc, D))]
     if idx_keep is not None:
-        idxp = _pad_idx(idx_keep, L)
+        idxp = _pad_idx(idx_keep, L).reshape(B // G, G, -1)
         operands.append(idxp)
         in_specs.append(
-            pl.BlockSpec((G, idxp.shape[-1]), lambda i: (i, 0),
+            pl.BlockSpec((1, G, idxp.shape[-1]), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
         )
     operands.append(g.astype(cast))

@@ -95,11 +95,12 @@ def main():
         ok &= good
         print(f"Block B={B:4d} L={L:3d} D={D:3d} H={H}  loss-rel {rel:.2e}  "
               f"worst-grad-rel {gerr:.2e}  {'OK' if good else 'MISMATCH'}")
-    # ---- head-group-split attention core (SSRL_ATTN_GROUPED=1): the
-    # round-4 score-lane lever. Only the D=192 decoder geometry activates
-    # (slots align to the 128-lane tile); run it fwd+bwd at small and
-    # reference batch BEFORE flipping the default — a Mosaic lowering
-    # difference here is exactly the hard-fault class this smoke exists for.
+    # ---- head-group-split attention core at level 1 (aligned-only): the
+    # round-4 score-lane lever, DEFAULT level 2 since round 5 (so the
+    # "default" section above already covers grouped2 paths). This section
+    # pins level 1 explicitly — only the D=192 decoder geometry activates
+    # (slots align to the 128-lane tile); fwd+bwd at small and reference
+    # batch, because each level is a distinct Mosaic lowering configuration.
     import os
 
     os.environ["SSRL_ATTN_GROUPED"] = "1"
@@ -137,10 +138,11 @@ def main():
                   f"worst-grad-rel {gerr:.2e}  {'OK' if good else 'MISMATCH'}")
     finally:
         os.environ.pop("SSRL_ATTN_GROUPED", None)
-    # ---- unaligned head-group split (SSRL_ATTN_GROUPED=2): also activates
-    # on the D=144 encoder via any-offset spans — the historical fault
-    # class involved non-tile-offset lane slices, so this section is
-    # separately gated and runs encoder AND decoder geometries at small and
+    # ---- unaligned head-group split (SSRL_ATTN_GROUPED=2 — the round-5
+    # DEFAULT, pinned explicitly here so the section stays meaningful even
+    # if the default moves): also activates on the D=144 encoder via
+    # any-offset spans — the historical fault class involved non-tile-offset
+    # lane slices, so encoder AND decoder geometries run at small and
     # reference batch.
     os.environ["SSRL_ATTN_GROUPED"] = "2"
     try:
@@ -266,7 +268,7 @@ def main():
             for _ in range(N)
         ]
 
-        def chain_loss(plist, x, g):
+        def chain_out(plist, x):
             if D < 128:
                 pad = 128 - D
                 xp = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
@@ -275,38 +277,64 @@ def main():
                     + pad_mlp_branch_params(*p[6:], pad)
                     for p in plist
                 ]
-                out = fused_block_chain(xp, padded, H, d_real=D)[..., :D]
-            else:
-                out = fused_block_chain(x, plist, H)
-            return (out.astype(jnp.float32) * g).sum()
+                return fused_block_chain(xp, padded, H, d_real=D)[..., :D]
+            return fused_block_chain(x, plist, H)
+
+        def chain_loss(plist, x, g):
+            return (chain_out(plist, x).astype(jnp.float32) * g).sum()
 
         blk = Block(D, H, dtype=jnp.bfloat16, attn_impl="xla", parent=None)
 
-        def ref_loss(plist, x, g):
+        def ref_out(plist, x):
             for p in plist:
                 x = blk.apply({"params": _block_tree(p)}, x)
-            return (x.astype(jnp.float32) * g).sum()
+            return x
+
+        def ref_loss(plist, x, g):
+            return (ref_out(plist, x).astype(jnp.float32) * g).sum()
+
+        # PRIMARY forward gate: output-tensor max-abs error, computed on
+        # device and fetched as ONE scalar (tunnel hygiene). The signed
+        # scalar loss is a (B·L·D)-term dot whose terms cancel ~1e4:1 at
+        # some shapes (L=37/N=4: |terms| mass ~3e5, signed sum ~15), so a
+        # loss-relative check there measures CANCELLATION, not kernel
+        # error — the round-4 "chain MISMATCH at L=37" was exactly that
+        # artifact (outputs matched at 1% while loss-rel read 23-51%).
+        @jax.jit
+        def out_err(plist, x, g):
+            co = chain_out(plist, x).astype(jnp.float32)
+            ro = ref_out(plist, x).astype(jnp.float32)
+            return (
+                jnp.max(jnp.abs(co - ro)),
+                jnp.max(jnp.abs(ro)),
+                jnp.abs(co * g).sum(),
+            )
+        oerr, oscale, mass = (float(v) for v in out_err(params, x, g))
+        out_rel = oerr / max(oscale, 1e-6)
 
         lf, gf = jax.jit(jax.value_and_grad(chain_loss))(params, x, g)
         lr, gr = jax.jit(jax.value_and_grad(ref_loss))(params, x, g)
         # no-grad forward: the custom_vjp PRIMAL runs the stash-free
         # fwd-only chain kernel (eval passes / probes through forced chain)
         lfwd = float(jax.jit(chain_loss)(params, x, g))
-        fwd_rel = abs(lfwd - float(lr)) / max(1.0, abs(float(lr)))
-        prim_rel = abs(float(lf) - float(lr)) / max(1.0, abs(float(lr)))
+        # loss denominators include a term-mass floor so the statistic
+        # stays meaningful under heavy cancellation (see out_err note)
+        denom = max(1.0, abs(float(lr)), 1e-3 * mass)
+        fwd_rel = abs(lfwd - float(lr)) / denom
+        prim_rel = abs(float(lf) - float(lr)) / denom
         rel = max(prim_rel, fwd_rel)
         gerr = max(
             float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
                   / (jnp.max(jnp.abs(b.astype(jnp.float32))) + 1e-6))
             for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr))
         )
-        # loss readout is a single (B·L·D)-term dot: N chained bf16 blocks
-        # accumulate ~N× the per-block rounding divergence vs the XLA path
-        # (measured 3.6e-2 at N=4/D=144 on v5e; exact math is pinned at
-        # fp32 atol 3e-4 by tests/test_block_kernel.py::TestChainKernel)
-        good = rel < 5e-2 and gerr < 2e-2
+        # bf16 chained-blocks rounding: out_rel ~1% measured at N=4/D=144
+        # on v5e; exact math is pinned at fp32 atol 3e-4 by
+        # tests/test_block_kernel.py::TestChainKernel
+        good = out_rel < 2e-2 and rel < 5e-2 and gerr < 2e-2
         ok &= good
-        print(f"Chain B={B:4d} L={L:3d} D={D:3d} H={H} N={N}  loss-rel {rel:.2e}  "
+        print(f"Chain B={B:4d} L={L:3d} D={D:3d} H={H} N={N}  "
+              f"out-rel {out_rel:.2e}  loss-rel {rel:.2e}  "
               f"(primal {prim_rel:.2e} / fwd-only {fwd_rel:.2e})  "
               f"worst-grad-rel {gerr:.2e}  {'OK' if good else 'MISMATCH'}")
     print("SMOKE", "PASS" if ok else "FAIL")
