@@ -103,6 +103,14 @@ def main():
                     help="cap the train reference set (0 = all 5000)")
     ap.add_argument("--batch_size", type=int, default=500)
     ap.add_argument("--data_dir", default=None)
+    ap.add_argument(
+        "--eval", choices=["knn", "ridge", "both"], default="knn",
+        help="'ridge' adds the closed-form ridge probe from "
+        "validate_instrument — the strongest frozen linear attack (the "
+        "10-step Adam probe in rank_study.sh under-trains; this one is "
+        "optimizer-free)",
+    )
+    ap.add_argument("--ridge_lam", type=float, default=10.0)
     args = ap.parse_args()
 
     from ssrl_vit_mae_jepa_tpu.config import load_config
@@ -145,12 +153,26 @@ def main():
         idx, _ = stratified_split_indices(tr_y, args.samples_per_class, seed=73)
         tr_f, tr_y = tr_f[idx], tr_y[idx]
 
-    pred = knn_predict(tr_f, tr_y, te_f, k=args.k, temperature=args.temperature)
-    acc = float((pred == te_y).mean())
-    print(
-        f"🔎 kNN(k={args.k}, T={args.temperature}, pool={args.pool}, "
-        f"train={len(tr_y)}) test accuracy: {acc:.4f}"
-    )
+    acc = None
+    if args.eval in ("knn", "both"):
+        pred = knn_predict(
+            tr_f, tr_y, te_f, k=args.k, temperature=args.temperature
+        )
+        acc = float((pred == te_y).mean())
+        print(
+            f"🔎 kNN(k={args.k}, T={args.temperature}, pool={args.pool}, "
+            f"train={len(tr_y)}) test accuracy: {acc:.4f}"
+        )
+    if args.eval in ("ridge", "both"):
+        from scripts.evaluation.validate_instrument import ridge_probe
+
+        pred = ridge_probe(tr_f, tr_y, te_f, lam=args.ridge_lam)
+        racc = float((pred == te_y).mean())
+        print(
+            f"🔎 ridge(lam={args.ridge_lam:g}, pool={args.pool}, "
+            f"train={len(tr_y)}) test accuracy: {racc:.4f}"
+        )
+        acc = racc if acc is None else acc
     return acc
 
 
