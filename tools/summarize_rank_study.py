@@ -15,17 +15,21 @@ import sys
 from pathlib import Path
 
 
-def knn_rows(log_path: Path) -> dict:
-    rows = {}
-    name = None
+def knn_rows(log_path: Path) -> tuple[dict, dict]:
+    """(knn, ridge, knn_mean) accuracy-by-encoder, parsed from the study
+    log's `=== kNN <name>` / `=== ridge <name>` / `=== kNN-mean <name>`
+    section headers (the result line is attributed to the most recent
+    header, so headers must be matched exhaustively)."""
+    tables = {"kNN": {}, "ridge": {}, "kNN-mean": {}}
+    name = kind = None
     for line in log_path.read_text(errors="replace").splitlines():
-        m = re.match(r"=== kNN (\w+) ", line)
+        m = re.match(r"=== (kNN-mean|kNN|ridge) (\w+) ", line)
         if m:
-            name = m.group(1)
-        m = re.search(r"kNN\(.*\) test accuracy: ([0-9.]+)", line)
-        if m and name:
-            rows[name] = float(m.group(1))
-    return rows
+            kind, name = m.group(1), m.group(2)
+        m = re.search(r"(?:kNN|ridge)\(.*\) test accuracy: ([0-9.]+)", line)
+        if m and name and kind:
+            tables[kind][name] = float(m.group(1))
+    return tables["kNN"], tables["ridge"], tables["kNN-mean"]
 
 
 def probe_metrics(run_dir: Path) -> dict:
@@ -45,20 +49,23 @@ def probe_metrics(run_dir: Path) -> dict:
 def main():
     out = Path(sys.argv[1] if len(sys.argv) > 1 else "outputs/rank_study_cpu")
     log = out / "study.log"
-    knn = knn_rows(log)
+    knn, ridge, knn_mean = knn_rows(log)
     probes = {
         name: probe_metrics(out / "outputs/train" / f"rank_probe_{name}")
         for name in ("random", "mae", "jepa")
     }
-    print("| encoder | k-NN top-1 | probe best-val top-1 |")
-    print("|---|---|---|")
+    print("| encoder | k-NN top-1 | ridge probe top-1 | adam probe best-val |")
+    print("|---|---|---|---|")
     for name in ("pixels", "random", "mae", "jepa"):
         k = knn.get(name)
+        r = ridge.get(name)
         p = probes.get(name, {}).get("best_val_acc")
         print(f"| {name} | {'' if k is None else f'{k:.1%}'} | "
+              f"{'' if r is None else f'{r:.1%}'} | "
               f"{'' if p is None else f'{p:.1%}'} |")
     print()
-    print(json.dumps({"knn": knn, "probes": probes}))
+    print(json.dumps({"knn": knn, "ridge": ridge, "knn_mean": knn_mean,
+                      "probes": probes}))
 
 
 if __name__ == "__main__":
