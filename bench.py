@@ -30,6 +30,11 @@ def main():
     parser.add_argument("--batch-size", type=int, default=768)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument(
+        "--fused", action=argparse.BooleanOptionalAction, default=False,
+        help="time all --steps inside ONE jitted lax.fori_loop dispatch "
+        "(steady-state device rate; removes per-dispatch relay latency)",
+    )
     parser.add_argument("--attn-impl", type=str, default="auto")
     parser.add_argument("--augment", action=argparse.BooleanOptionalAction, default=True)
     parser.add_argument(
@@ -119,13 +124,20 @@ def main():
     for _ in range(args.warmup):
         state, sums = task.train_step(state, batch, 0, ctx)
     float(sums["loss_sum"])
+    if args.fused:
+        # compile + warm the fused loop outside the timed region
+        state, sums = task.train_steps_fused(state, batch, 0, ctx, args.steps)
+        float(sums["loss_sum"])
 
     from ssrl_vit_mae_jepa_tpu.utils.profiling import trace
 
     t0 = time.perf_counter()
     with trace(args.profile_dir):
-        for _ in range(args.steps):
-            state, sums = task.train_step(state, batch, 0, ctx)
+        if args.fused:
+            state, sums = task.train_steps_fused(state, batch, 0, ctx, args.steps)
+        else:
+            for _ in range(args.steps):
+                state, sums = task.train_step(state, batch, 0, ctx)
         float(sums["loss_sum"])
     dt = time.perf_counter() - t0
 
@@ -164,6 +176,7 @@ def main():
         "vs_baseline": round(images_per_s / BASELINE_IMAGES_PER_S, 3),
         "batch_size": B,
         "steps": args.steps,
+        "dispatch": "fused" if args.fused else "per-step",
         "chips": n_chips,
         "images_per_sec_per_chip": round(images_per_s / n_chips, 1),
         "step_time_ms": round(1e3 * dt / args.steps, 3),

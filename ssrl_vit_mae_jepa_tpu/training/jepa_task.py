@@ -215,6 +215,7 @@ class JEPATask(Task):
         self.steps_per_epoch = steps_per_epoch
         self.total_steps = steps_per_epoch * self.total_epochs
         self._train_step = None  # re-trace with the step count baked in
+        self._fused_cache_key = None
 
     def _momentum(self, state: TrainState, epoch):
         if self.total_steps:

@@ -53,6 +53,8 @@ class Task:
         self.mask = None
         self._train_step = None
         self._eval_step = None
+        self._fused_train_steps = None
+        self._fused_cache_key = None
         #: set by Trainer (configure_sharding): data-parallel shard_map
         self._mesh = None
         self._axis = None
@@ -77,6 +79,7 @@ class Task:
         self._axis = "data" if (mesh is not None and "data" in mesh.shape) else None
         self._train_step = None
         self._eval_step = None
+        self._fused_cache_key = None
 
     def _manual_axes(self) -> frozenset:
         """Mesh axes the shard_map makes manual: ``data`` plus every size-1
@@ -221,7 +224,86 @@ class Task:
             self._eval_step = self._make_eval_step()
         return self._eval_step(params, extra, batch, rng, ctx)
 
+    def train_steps_fused(self, state: TrainState, batch, epoch, ctx, n: int):
+        """Run ``n`` identical-batch train steps inside ONE jitted dispatch.
+
+        A ``lax.fori_loop`` over the same per-step body ``train_step``
+        compiles (same RNG splitting, schedules, psums, post_update), so
+        the math per step is identical — only the host↔device dispatch
+        count changes (1 instead of ``n``). This is the steady-state
+        measurement mode for the throughput bench: over the axon relay a
+        per-step dispatch serializes ~1 ms of RPC latency into every step
+        that a directly-attached TPU host would overlap with device
+        execution (docs/PERFORMANCE.md round-5 section has the measured
+        wall-vs-device gap). Not used by the Trainer epoch loop, which
+        needs per-step metrics/batches.
+        """
+        key = ("fused", n)
+        if getattr(self, "_fused_cache_key", None) != key:
+            self._fused_train_steps = self._make_train_steps_fused(n)
+            self._fused_cache_key = key
+        return self._fused_train_steps(
+            state, batch, jnp.asarray(epoch, jnp.float32), ctx
+        )
+
+    def _make_train_steps_fused(self, n: int):
+        local_step = self._local_train_step()
+
+        def local_loop(state, batch, epoch, ctx):
+            st, sums = local_step(state, batch, epoch, ctx)
+            st, sums = jax.lax.fori_loop(
+                0, n - 1,
+                lambda i, c: local_step(c[0], batch, epoch, ctx),
+                (st, sums),
+            )
+            return st, sums
+
+        if self._axis is None:
+            return jax.jit(local_loop, static_argnums=(3,), donate_argnums=(0,))
+
+        mesh = self._mesh
+        P = jax.sharding.PartitionSpec
+
+        @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def sharded_loop(state, batch, epoch, ctx):
+            f = jax.shard_map(
+                partial(local_loop, ctx=ctx),
+                mesh=mesh,
+                in_specs=(P(), P("data"), P()),
+                out_specs=(P(), P()),
+                axis_names=self._manual_axes(),
+                check_vma=False,
+            )
+            return f(state, batch, epoch)
+
+        return sharded_loop
+
     def _make_train_step(self):
+        local_step = self._local_train_step()
+
+        if self._axis is None:
+            return jax.jit(local_step, static_argnums=(3,), donate_argnums=(0,))
+
+        mesh = self._mesh
+        P = jax.sharding.PartitionSpec
+
+        @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def sharded_step(state, batch, epoch, ctx):
+            f = jax.shard_map(
+                partial(local_step, ctx=ctx),
+                mesh=mesh,
+                in_specs=(P(), P("data"), P()),
+                out_specs=(P(), P()),
+                axis_names=self._manual_axes(),
+                check_vma=False,
+            )
+            return f(state, batch, epoch)
+
+        return sharded_step
+
+    def _local_train_step(self):
+        """The per-chip step body shared by the jitted single-step and
+        fused-loop entries (identical math; see ``train_steps_fused``)."""
         def local_step(state: TrainState, batch, epoch, ctx):
             rng, aug_rng, task_rng = jax.random.split(state.rng, 3)
             images = self.preprocess_train(aug_rng, batch["image"])
@@ -260,25 +342,7 @@ class Task:
             sums["lr"] = lr  # epoch function — invariant, never psum it
             return new_state, sums
 
-        if self._axis is None:
-            return jax.jit(local_step, static_argnums=(3,), donate_argnums=(0,))
-
-        mesh = self._mesh
-        P = jax.sharding.PartitionSpec
-
-        @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
-        def sharded_step(state, batch, epoch, ctx):
-            f = jax.shard_map(
-                partial(local_step, ctx=ctx),
-                mesh=mesh,
-                in_specs=(P(), P("data"), P()),
-                out_specs=(P(), P()),
-                axis_names=self._manual_axes(),
-                check_vma=False,
-            )
-            return f(state, batch, epoch)
-
-        return sharded_step
+        return local_step
 
     def _make_eval_step(self):
         def local_step(params, extra, batch, rng, ctx):

@@ -172,6 +172,40 @@ class TestMAETraining:
         metrics = trainer.fit(train, val)
         assert metrics["val_loss"] < m0["val_loss"], (m0, metrics)
 
+    def test_fused_steps_match_sequential(self):
+        """train_steps_fused(n) ≡ n sequential train_step dispatches.
+
+        The fused entry (bench.py --fused) runs the SAME per-chip body in
+        a lax.fori_loop inside one jit — params and metric sums after 3
+        steps must match the per-step dispatch path bit-for-bit-ish
+        (fp32 here; loop-carried reassociation stays within 1e-5)."""
+        cfg = small_cfg()
+        task = MAETask(cfg["model"], cfg["pretrain"], dtype=jnp.float32)
+        task.configure_sharding(get_mesh())
+        state0 = task.init_state(jax.random.PRNGKey(7))
+        rng = np.random.default_rng(3)
+        batch = {
+            "image": rng.integers(0, 256, (16, 96, 96, 3)).astype(np.uint8),
+            "label": rng.integers(0, 10, 16).astype(np.int32),
+            "weight": np.ones((16,), np.float32),
+        }
+        ctx = task.epoch_context(0)
+        copy = lambda s: jax.tree.map(jnp.copy, s)  # train_step donates state
+
+        seq = copy(state0)
+        for _ in range(3):
+            seq, seq_sums = task.train_step(seq, batch, 0, ctx)
+        fused, fused_sums = task.train_steps_fused(copy(state0), batch, 0, ctx, 3)
+
+        assert int(fused.step) == int(seq.step) == 3
+        np.testing.assert_allclose(
+            fused_sums["loss_sum"], seq_sums["loss_sum"], rtol=1e-5
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6),
+            jax.device_get(seq.params), jax.device_get(fused.params),
+        )
+
     def test_mask_ramp_changes_context(self):
         cfg = small_cfg()
         cfg["pretrain"].update(
