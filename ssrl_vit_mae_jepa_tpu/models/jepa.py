@@ -107,6 +107,38 @@ class JEPA(nn.Module):
         pred = self.predictor.decoder_norm(pred)
         return self.predictor_proj(pred)
 
+    def predict_dense(
+        self, images: jnp.ndarray, idx_ctx_tokens: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Dense-loss context forward: predicted latents for EVERY token.
+
+        Companion to ``MaskedAutoencoder.forward_dense`` (round-5 lever):
+        the task weights the latent MSE by a (B, L) one-hot occupancy of
+        the target indices instead of gathering the target rows — loss
+        and grads are identical (zero cotangent at non-target rows), but
+        the predictor-side one-hot gather matmul, its backward
+        scatter-transpose, and their relayout copies (~2 ms/step at
+        B=768 per the round-3 JEPA profile, models/jepa.py:99-101)
+        drop out of the step. Cost: decoder_norm + predictor_proj run on
+        all L rows instead of the T target rows.
+        """
+        from ssrl_vit_mae_jepa_tpu.ops.masking import repeat_token, set_at_index_mm
+
+        x_ctx = self.encode_context(images, idx_ctx_tokens)
+        B = x_ctx.shape[0]
+        x = self.predictor.embed(x_ctx)
+        seq = repeat_token(
+            self.predictor.mask_token_value().astype(self.dtype),
+            (B, self.sequence_length),
+        )
+        seq = set_at_index_mm(seq, idx_ctx_tokens, x.astype(seq.dtype))
+        decoded = self.predictor.decode_tokens(seq)
+        return self.predictor_proj(self.predictor.decoder_norm(decoded))
+
+    def target_representations_dense(self, images) -> jnp.ndarray:
+        """Full-sequence EMA-encoder representations, ungathered (B, L, D)."""
+        return self.encoder(images)
+
     def __call__(
         self,
         images: jnp.ndarray,

@@ -186,6 +186,41 @@ class MaskedAutoencoder(nn.Module):
         x_pred = self.decoder.decoder_norm(x_pred)
         return self.decoder.predict(x_pred)
 
+    def forward_dense(
+        self, images: jnp.ndarray, idx_keep: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Dense-loss forward: predict EVERY token; no masked-index gathers.
+
+        Returns ``(pred, target)`` with pred (B, L=num_patches+1, P) — row
+        0 is the CLS position, sliced off by the caller so it fuses into
+        the elementwise loss — and target (B, num_patches, P). The MAE
+        task weights the squared error by a (B, num_patches) mask instead
+        of gathering the masked rows: the loss AND gradients are
+        identical (unmasked rows receive zero cotangent, so decoder_norm
+        / decoder_pred see the same param grads), but the two one-hot
+        gather matmuls, the backward scatter-transpose, and their f32
+        relayout copies disappear from the step (round-5 lever,
+        docs/PERFORMANCE.md). Cost: decoder_norm + decoder_pred run on
+        all L rows instead of the M masked ones — ~+34% of a 192×192
+        GEMM at the flagship geometry, trivial next to the removed
+        gathers. Reference loss contract it preserves:
+        /root/reference/src/models/mae.py:96-116 (MSE on masked patches).
+        """
+        x_encoded = self.forward_encoder(images, idx_keep=idx_keep)
+        B = x_encoded.shape[0]
+        x_decode = self.decoder.embed(x_encoded)
+        x_masked = repeat_token(
+            self.decoder.mask_token_value().astype(self.dtype),
+            (B, self.sequence_length),
+        )
+        x_masked = set_at_index_mm(
+            x_masked, idx_keep, x_decode.astype(x_masked.dtype)
+        )
+        x_decoded = self.decoder.decode_tokens(x_masked)
+        x_pred = self.decoder.predict(self.decoder.decoder_norm(x_decoded))
+        target = patchify(images, self.patch_size)
+        return x_pred, target
+
     def __call__(
         self, images: jnp.ndarray, idx_keep: jnp.ndarray, idx_mask: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -13,6 +13,7 @@ I-JEPA's contiguous context block minus targets (``jepa.context_sampling``).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -78,6 +79,10 @@ class JEPATask(Task):
         self.context_sampling = str(jepa_cfg.get("context_sampling", "complement"))
         cscale = jepa_cfg.get("context_scale", [0.85, 1.0])
         self.context_scale = (float(cscale[0]), float(cscale[1]))
+        # Round-5 lever switch: latent MSE via dense prediction + one-hot
+        # weights instead of target-row gathers (numerics identical; see
+        # JEPA.predict_dense). SSRL_JEPA_DENSE_LOSS=0 restores gathers.
+        self.dense_loss = os.environ.get("SSRL_JEPA_DENSE_LOSS", "0") == "1"
 
     def init_params(self, rng):
         dummy = jnp.zeros((2, self.image_size, self.image_size, self.model.in_chans))
@@ -115,25 +120,55 @@ class JEPATask(Task):
         )
         idx_ctx = self._ctx_tokens(c_idx)
         idx_tgt = t_idx + 1
-        pred = self.model.apply({"params": params}, images, idx_ctx, idx_tgt)
-        target = self.model.apply(
-            {"params": {"encoder": extra}},
-            images,
-            idx_tgt,
-            method=self.model.target_representations,
-        )
-        target = jax.lax.stop_gradient(target)
-        predf = pred.astype(jnp.float32)
-        targf = target.astype(jnp.float32)
-        per_ex = jnp.mean((predf - targf) ** 2, axis=(1, 2))
         w = batch["weight"]
+        T = idx_tgt.shape[1]
+        if self.dense_loss:
+            # Dense-loss formulation (round-5 lever): predict/encode every
+            # token, weight the latent MSE by a one-hot target mask —
+            # identical loss/grads to the gathered path (zero cotangent at
+            # non-target rows), minus both gather matmuls, the predictor
+            # backward scatter, and their relayout copies.
+            pred = self.model.apply(
+                {"params": params}, images, idx_ctx,
+                method=self.model.predict_dense,
+            )
+            target = self.model.apply(
+                {"params": {"encoder": extra}}, images,
+                method=self.model.target_representations_dense,
+            )
+            target = jax.lax.stop_gradient(target)
+            predf = pred.astype(jnp.float32)
+            targf = target.astype(jnp.float32)
+            # (B, L) occupancy of idx_tgt in token space; the one-hot sum
+            # reproduces gather semantics exactly — incl. the double count
+            # when I-JEPA target blocks overlap on a patch.
+            mask = jax.nn.one_hot(
+                idx_tgt, self.model.sequence_length, dtype=jnp.float32
+            ).sum(axis=1)
+            diff = predf - targf
+            per_ex = jnp.sum(
+                diff * diff * mask[:, :, None], axis=(1, 2)
+            ) / (T * predf.shape[-1])
+        else:
+            pred = self.model.apply({"params": params}, images, idx_ctx, idx_tgt)
+            target = self.model.apply(
+                {"params": {"encoder": extra}},
+                images,
+                idx_tgt,
+                method=self.model.target_representations,
+            )
+            target = jax.lax.stop_gradient(target)
+            predf = pred.astype(jnp.float32)
+            targf = target.astype(jnp.float32)
+            mask = None
+            per_ex = jnp.mean((predf - targf) ** 2, axis=(1, 2))
         loss_sum, weight_sum = _weighted(per_ex, w)
         loss = loss_sum / self._loss_den(weight_sum)
         sums = {"loss_sum": loss_sum, "weight_sum": weight_sum}
-        sums.update(self._collapse_sums(predf, targf, w, weight_sum))
+        sums.update(self._collapse_sums(predf, targf, w, weight_sum, mask=mask))
         return loss, sums
 
-    def _collapse_sums(self, predf, targf, w, weight_sum):
+    def _collapse_sums(self, predf, targf, w, weight_sum, mask=None):
         """Per-batch collapse diagnostics, accumulated as weighted sums.
 
         A joint-embedding method can drive latent MSE down by collapsing both
@@ -173,7 +208,13 @@ class JEPATask(Task):
             return jnp.mean(jnp.sqrt(jnp.maximum(var, 0.0)))
 
         Bc, M, D = predf.shape
-        rows_w = jnp.repeat(w, M)
+        if mask is None:
+            rows_w = jnp.repeat(w, M)
+        else:
+            # dense-loss path: rows are ALL tokens; weight = example weight
+            # × target-occupancy (0 at non-target rows, >1 on block overlap
+            # — exactly the gathered row multiset)
+            rows_w = (mask * w[:, None]).reshape(-1)
         p2 = predf.reshape(Bc * M, D)
         t2 = targf.reshape(Bc * M, D)
         pred_std = _wstd(p2, rows_w)

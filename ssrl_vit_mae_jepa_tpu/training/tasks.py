@@ -13,6 +13,7 @@ once per distinct ratio (≤5 compiles for the reference ramp).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -502,6 +503,11 @@ class MAETask(Task):
         self.augment = augment
         self.image_size = self.model.image_size
         self.sequence_length = self.model.sequence_length
+        # Round-5 lever switch: masked-MSE via dense prediction + one-hot
+        # weights instead of index gathers (numerics identical; measured
+        # A/B in docs/PERFORMANCE.md). SSRL_MAE_DENSE_LOSS=0 restores the
+        # gathered path.
+        self.dense_loss = os.environ.get("SSRL_MAE_DENSE_LOSS", "0") == "1"
 
     def epoch_context(self, epoch: int):
         ratio = mask_ratio_at_epoch(
@@ -531,13 +537,35 @@ class MAETask(Task):
             lambda r, b: random_token_mask(r, b, self.sequence_length, n_mask),
             rng, B,
         )
-        pred, target = self.model.apply(
-            {"params": params}, images, idx_keep, idx_mask
-        )
-        per_ex = jnp.mean(
-            (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2,
-            axis=(1, 2),
-        )
+        if self.dense_loss:
+            # Dense-loss formulation (round-5 lever): predict every token,
+            # weight the squared error by a one-hot mask — identical loss
+            # and grads to the gathered path (see forward_dense), minus
+            # the gather/scatter matmuls and their relayout copies.
+            pred, target = self.model.apply(
+                {"params": params}, images, idx_keep,
+                method="forward_dense",
+            )
+            # (B, L) occupancy of idx_mask in token space; the one-hot sum
+            # reproduces gather semantics exactly (incl. duplicate counts).
+            mask = jax.nn.one_hot(
+                idx_mask, self.sequence_length, dtype=jnp.float32
+            ).sum(axis=1)
+            diff = (
+                pred[:, 1:, :].astype(jnp.float32)
+                - target.astype(jnp.float32)
+            )
+            per_ex = jnp.sum(
+                diff * diff * mask[:, 1:, None], axis=(1, 2)
+            ) / (n_mask * target.shape[-1])
+        else:
+            pred, target = self.model.apply(
+                {"params": params}, images, idx_keep, idx_mask
+            )
+            per_ex = jnp.mean(
+                (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2,
+                axis=(1, 2),
+            )
         w = batch["weight"]
         loss_sum, weight_sum = _weighted(per_ex, w)
         loss = loss_sum / self._loss_den(weight_sum)

@@ -122,6 +122,50 @@ class TestJepaModel:
         assert tgt.shape == (B, 96, 48)
 
 
+class TestJepaDenseLoss:
+    def test_dense_loss_matches_gathered(self, monkeypatch):
+        """SSRL_JEPA_DENSE_LOSS=1 ≡ the gathered latent-MSE path.
+
+        Loss, collapse telemetry sums, AND context-side parameter grads
+        must match the gathered formulation exactly (fp32, same RNG →
+        same block draw; only the reduction structure differs)."""
+
+        def run(dense: bool):
+            monkeypatch.setenv("SSRL_JEPA_DENSE_LOSS", "1" if dense else "0")
+            task = JEPATask(SMALL_MODEL, SMALL_JEPA, dtype=jnp.float32)
+            assert task.dense_loss is dense
+            params = task.init_params(jax.random.PRNGKey(21))
+            extra = task.init_extra(params)
+            images = jnp.asarray(
+                np.random.default_rng(9).uniform(-1, 1, (8, 96, 96, 3)),
+                jnp.float32,
+            )
+            batch = {"weight": jnp.ones((8,), jnp.float32)}
+
+            def f(p):
+                loss, sums = task.loss_and_metric_sums(
+                    p, images, batch, jax.random.PRNGKey(4), None, extra=extra
+                )
+                return loss, sums
+
+            (loss, sums), grads = jax.value_and_grad(f, has_aux=True)(params)
+            return loss, sums, grads
+
+        loss_g, sums_g, grads_g = run(False)
+        loss_d, sums_d, grads_d = run(True)
+        np.testing.assert_allclose(loss_d, loss_g, rtol=1e-6)
+        for k in sums_g:
+            np.testing.assert_allclose(
+                sums_d[k], sums_g[k], rtol=1e-5, atol=1e-7, err_msg=k
+            )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, rtol=5e-5, atol=1e-7
+            ),
+            jax.device_get(grads_d), jax.device_get(grads_g),
+        )
+
+
 class TestJepaTask:
     def _loaders(self, synthetic_stl10_dir):
         ds = STL10(synthetic_stl10_dir, "unlabeled")

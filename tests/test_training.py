@@ -172,6 +172,45 @@ class TestMAETraining:
         metrics = trainer.fit(train, val)
         assert metrics["val_loss"] < m0["val_loss"], (m0, metrics)
 
+    def test_dense_loss_matches_gathered(self, monkeypatch):
+        """SSRL_MAE_DENSE_LOSS=1 ≡ the gathered masked-MSE path.
+
+        The dense formulation (forward_dense + one-hot loss weights) must
+        reproduce the gathered path's loss AND parameter gradients exactly
+        (fp32 model; same RNG → same mask draw — only the reduction
+        structure differs, so tolerances are reassociation-level)."""
+        cfg = small_cfg()
+
+        def loss_and_grads(dense: bool):
+            monkeypatch.setenv("SSRL_MAE_DENSE_LOSS", "1" if dense else "0")
+            task = MAETask(cfg["model"], cfg["pretrain"], dtype=jnp.float32)
+            assert task.dense_loss is dense
+            params = task.init_params(jax.random.PRNGKey(11))
+            rng = np.random.default_rng(5)
+            images = jnp.asarray(
+                rng.standard_normal((8, 96, 96, 3)), jnp.float32
+            )
+            batch = {"weight": jnp.ones((8,), jnp.float32)}
+            ctx = task.epoch_context(0)
+
+            def f(p):
+                loss, _ = task.loss_and_metric_sums(
+                    p, images, batch, jax.random.PRNGKey(3), ctx
+                )
+                return loss
+
+            return jax.value_and_grad(f)(params)
+
+        loss_g, grads_g = loss_and_grads(False)
+        loss_d, grads_d = loss_and_grads(True)
+        np.testing.assert_allclose(loss_d, loss_g, rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, rtol=5e-5, atol=1e-7
+            ),
+            jax.device_get(grads_d), jax.device_get(grads_g),
+        )
+
     def test_fused_steps_match_sequential(self):
         """train_steps_fused(n) ≡ n sequential train_step dispatches.
 
