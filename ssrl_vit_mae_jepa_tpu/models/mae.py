@@ -218,17 +218,22 @@ class MaskedAutoencoder(nn.Module):
         )
         x_decoded = self.decoder.decode_tokens(x_masked)
         x_pred = self.decoder.predict(self.decoder.decoder_norm(x_decoded))
-        target = patchify(images, self.patch_size)
+        target = (
+            images if images.ndim == 3 else patchify(images, self.patch_size)
+        )
         return x_pred, target
 
     def __call__(
         self, images: jnp.ndarray, idx_keep: jnp.ndarray, idx_mask: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """images (B,H,W,C in [-1,1]), idx_keep (B,K), idx_mask (B,M) →
+        """images (B,H,W,C in [-1,1]) — or pre-patchified (B,N,p*p*C)
+        tokens — with idx_keep (B,K), idx_mask (B,M) →
         (pred, target), both (B, M, p*p*C)."""
         x_encoded = self.forward_encoder(images, idx_keep=idx_keep)
         x_pred = self.forward_decoder(x_encoded, idx_keep, idx_mask)
-        patches = patchify(images, self.patch_size)
+        patches = (
+            images if images.ndim == 3 else patchify(images, self.patch_size)
+        )
         idx_mask_adj = jnp.clip(idx_mask - 1, 0, None)
         # one-hot matmul, not take_along_axis: exact (fp32 0/1 contraction),
         # and the gather's batch-minor layout preference cost ~1.3 ms/step

@@ -403,11 +403,21 @@ class VisionTransformer(nn.Module):
         With ``idx_keep`` (B, K): the lightly masked-encode path — gather the
         kept tokens *after* adding positional embeddings, then run the blocks
         on the K-token sequence. Without it: timm ``forward_features``.
+
+        ``images`` may also be pre-patchified (B, N, p·p·C) tokens (ndim 3)
+        — the train path computes them fused with the augmentation
+        (``ops/augment.py::apply_augment_patches``) so the image tensor and
+        its relayout copies never materialize; patchify-then-cast and
+        cast-then-patchify are elementwise-identical.
         """
         B = images.shape[0]
         D = self.embed_dim
 
-        patches = patchify(images.astype(self.dtype), self.patch_size)
+        patches = (
+            images.astype(self.dtype)
+            if images.ndim == 3
+            else patchify(images.astype(self.dtype), self.patch_size)
+        )
         Pc = patches.shape[-1]
         w_pe, b_pe = _PatchEmbedParams(D, name="patch_embed")(Pc)
 

@@ -39,26 +39,35 @@ def normalize(images_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     )
 
 
-def _axis_weights(start, size, out_n: int, limit: int) -> jnp.ndarray:
+def _axis_weights(start, size, out_n: int, limit: int, flip=None) -> jnp.ndarray:
     """(B, out_n, limit) bilinear resampling matrix for one spatial axis.
 
     Row o holds the triangle weights max(0, 1-|src(o) - s|) of output sample
     o against source positions s, with the source coordinate clamped to the
     image (edge-pixel replication, matching torch's coordinate clamping).
+
+    ``flip`` (B,) bool: reverse the OUTPUT rows per example — horizontal
+    flip folded into the matrix. The select runs on the (B, out) source
+    COORDINATES, not the (B, out, limit) weights: row permutation commutes
+    bit-exactly with the elementwise triangle map, and the round-5 profile
+    showed the weight-level reverse materializing as a 0.12 ms/step
+    ``reverse`` op on the (B, 96, 96) tensor (docs/PERFORMANCE.md).
     """
     src = start[:, None] + (jnp.arange(out_n)[None, :] + 0.5) * (
         size[:, None] / out_n
     ) - 0.5
     src = jnp.clip(src, 0.0, float(limit - 1))  # (B, out)
+    if flip is not None:
+        src = jnp.where(flip[:, None], src[:, ::-1], src)
     s = jnp.arange(limit, dtype=jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, :, None] - s[None, None, :]))
 
 
-def _crop_resize_batch(
+def _crop_resize_cols(
     images: jnp.ndarray, tops, lefts, hs, ws, out_hw: Tuple[int, int],
     flip_x=None,
 ) -> jnp.ndarray:
-    """Bilinear resample of per-image crop boxes → (B, out_h, out_w, C).
+    """Bilinear resample of per-image crop boxes → (B, out_h, C, out_w).
 
     Two batched MXU contractions against dense per-image bilinear weight
     matrices (each row has ≤2 nonzeros). Measured at B=384 on v5e:
@@ -68,24 +77,35 @@ def _crop_resize_batch(
     torchvision tensor-backend bilinear semantics; at crop scale (0.8, 1.0)
     the downscale factor is ≤1.12 so the antialias filter support is ~1
     pixel and the difference is negligible.
+
+    Returns the second contraction's NATURAL output layout (B, out_h, C,
+    out_w) — the NHWC transpose is the caller's choice, because the
+    patch-token consumer (``apply_augment_patches``) can reorder straight
+    from here and skip it.
     """
     B, H, W, C = images.shape
     out_h, out_w = out_hw
     wy = _axis_weights(tops, hs, out_h, H)  # (B, out_h, H)
-    wx = _axis_weights(lefts, ws, out_w, W)  # (B, out_w, W)
-    if flip_x is not None:
-        # horizontal flip ≡ output-row reversal of the weight matrix
-        wx = jnp.where(flip_x[:, None, None], wx[:, ::-1, :], wx)
+    # horizontal flip ≡ output-row reversal, folded into the coordinates
+    wx = _axis_weights(lefts, ws, out_w, W, flip=flip_x)  # (B, out_w, W)
     # rows: contract H → (B, out_h, W, C)
     rows = jax.lax.dot_general(
         wy, images.reshape(B, H, W * C), (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).reshape(B, out_h, W, C)
-    # cols: contract W → (B, out_h, C, out_w) → transpose minor dims
-    cols = jax.lax.dot_general(
+    # cols: contract W → (B, out_h, C, out_w)
+    return jax.lax.dot_general(
         rows, wx, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (B, out_h, C, out_w)
+    )
+
+
+def _crop_resize_batch(
+    images: jnp.ndarray, tops, lefts, hs, ws, out_hw: Tuple[int, int],
+    flip_x=None,
+) -> jnp.ndarray:
+    """Bilinear resample of per-image crop boxes → (B, out_h, out_w, C)."""
+    cols = _crop_resize_cols(images, tops, lefts, hs, ws, out_hw, flip_x)
     return jnp.transpose(cols, (0, 1, 3, 2))
 
 
@@ -148,6 +168,41 @@ def apply_augment(
         images, tops, lefts, hs, ws, (out_size, out_size), flip_x=flip
     )
     return out.astype(dtype)
+
+
+@partial(
+    jax.jit, static_argnames=("patch_size", "out_size", "scale", "ratio", "dtype")
+)
+def apply_augment_patches(
+    u: jnp.ndarray,
+    flip: jnp.ndarray,
+    images_u8: jnp.ndarray,
+    patch_size: int = 8,
+    out_size: int = 96,
+    scale: Tuple[float, float] = (0.8, 1.0),
+    ratio: Tuple[float, float] = DEFAULT_RATIO,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """``apply_augment`` fused with ``patchify``: uint8 → (B, N, p*p*C).
+
+    Value-identical to ``patchify(apply_augment(...), patch_size)`` (the
+    parity test asserts exact equality) but reorders pixels ONCE, straight
+    from the resample's natural (B, out_h, C, out_w) output — the NHWC
+    intermediate and its relayout copies never exist. The default train
+    path since round 5; the models accept the (B, N, P) tokens directly
+    (``VisionTransformer.__call__`` ndim==3 branch). Replaces the
+    reference's host-side transform + in-model PatchEmbed prologue
+    (reference ``src/data.py:15-34`` + ``src/models/mae.py:85``).
+    """
+    B, H, W, C = images_u8.shape
+    images = normalize(images_u8, dtype=jnp.float32)
+    tops, lefts, hs, ws = _crop_box_from_u(u, H, W, scale, ratio)
+    cols = _crop_resize_cols(
+        images, tops, lefts, hs, ws, (out_size, out_size), flip_x=flip
+    )  # (B, out_h, C, out_w)
+    from ssrl_vit_mae_jepa_tpu.ops.patches import patchify_hcw
+
+    return patchify_hcw(cols, patch_size).astype(dtype)
 
 
 @partial(jax.jit, static_argnames=("out_size", "scale", "ratio", "dtype"))

@@ -31,6 +31,26 @@ def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, p * p * C)
 
 
+def patchify_hcw(x_hcw: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """(B, H, C, W) channel-interposed images → (B, N, p*p*C) patch tokens.
+
+    Same contract as :func:`patchify` (row-major grid, CHW within the
+    patch), entered from the (B, H, C, W) layout the augmentation's second
+    resample contraction produces naturally (``ops/augment.py``
+    ``_crop_resize_cols``). ONE 6-D transpose does all the reordering —
+    the NHWC round-trip (cols→NHWC transpose, then patchify's own
+    transpose) that XLA materialized as two relayout copies per use
+    disappears (round-5 profile, docs/PERFORMANCE.md).
+    """
+    B, H, C, W = x_hcw.shape
+    p = patch_size
+    gh, gw = H // p, W // p
+    x = x_hcw.reshape(B, gh, p, C, gw, p)
+    # (B, gh, p_y, C, gw, p_x) → (B, gh, gw, C, p_y, p_x)
+    x = x.transpose(0, 1, 4, 3, 2, 5)
+    return x.reshape(B, gh * gw, p * p * C)
+
+
 def unpatchify(patches: jnp.ndarray, patch_size: int, channels: int = 3) -> jnp.ndarray:
     """(B, N, p*p*C) patch tokens → (B, H, W, C) images (inverse of patchify)."""
     B, N, D = patches.shape

@@ -25,6 +25,7 @@ from ssrl_vit_mae_jepa_tpu.models.classifier import classifier_from_config
 from ssrl_vit_mae_jepa_tpu.models.mae import mae_from_config
 from ssrl_vit_mae_jepa_tpu.ops.augment import (
     apply_augment,
+    apply_augment_patches,
     draw_augment_params,
     eval_transform,
 )
@@ -171,6 +172,17 @@ class Task:
             u, flip = self._draw_sliced(
                 draw_augment_params, rng, images_u8.shape[0]
             )
+            p = getattr(getattr(self, "model", None), "patch_size", None)
+            if p is not None and os.environ.get("SSRL_AUG_PATCHES", "1") == "1":
+                # augment fused with patchify (round-5 lever, value-exact):
+                # the models take the (B, N, p·p·C) tokens directly, so the
+                # NHWC image tensor and its relayout copies never exist
+                # (ops/augment.py::apply_augment_patches). =0 restores the
+                # image-tensor path.
+                return apply_augment_patches(
+                    u, flip, images_u8, patch_size=int(p), out_size=out,
+                    dtype=jnp.float32,
+                )
             return apply_augment(u, flip, images_u8, out_size=out,
                                  dtype=jnp.float32)
         return eval_transform(images_u8, out_size=out, dtype=jnp.float32)

@@ -96,6 +96,36 @@ class TestMAE:
                 np.asarray(target[b]), patches[b][idx[b] - 1], rtol=1e-6
             )
 
+    def test_patch_tokens_input_matches_images(self, rng):
+        """Passing pre-patchified (B, N, p·p·C) tokens ≡ passing images.
+
+        The round-5 fused augment→patchify train path relies on the ndim==3
+        passthrough producing identical (pred, target) — including the
+        internally patchified loss target."""
+        from ssrl_vit_mae_jepa_tpu.ops.patches import patchify
+
+        mae = mae_from_config(MODEL_CFG, dtype=jnp.float32)
+        B, L = 2, mae.sequence_length
+        n_mask = num_masked_tokens(L, 0.75)
+        idx_keep, idx_mask = random_token_mask(rng, B, L, n_mask)
+        imgs = _images(B)
+        params = mae.init(rng, imgs, idx_keep, idx_mask)
+        pred_i, targ_i = mae.apply(params, imgs, idx_keep, idx_mask)
+        tokens = patchify(imgs, 8)
+        pred_p, targ_p = mae.apply(params, tokens, idx_keep, idx_mask)
+        np.testing.assert_array_equal(np.asarray(targ_p), np.asarray(targ_i))
+        np.testing.assert_allclose(
+            np.asarray(pred_p), np.asarray(pred_i), rtol=1e-6, atol=1e-7
+        )
+        # ViT features too (classifier/JEPA consume this path)
+        vit = vit_from_config(MODEL_CFG, dtype=jnp.float32)
+        vparams = vit.init(rng, imgs)
+        np.testing.assert_allclose(
+            np.asarray(vit.apply(vparams, tokens)),
+            np.asarray(vit.apply(vparams, imgs)),
+            rtol=1e-6, atol=1e-7,
+        )
+
     def test_grad_flows(self, rng):
         mae = mae_from_config(MODEL_CFG, dtype=jnp.float32)
         B, L = 2, mae.sequence_length

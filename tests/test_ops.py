@@ -51,6 +51,17 @@ class TestPatches:
         assert p[0, 1].sum() == 192
         assert p[0, 0].sum() == 0
 
+    def test_patchify_hcw_matches_patchify(self):
+        """patchify_hcw from (B,H,C,W) ≡ patchify from the NHWC transpose."""
+        from ssrl_vit_mae_jepa_tpu.ops.patches import patchify_hcw
+
+        x_hcw = jnp.asarray(
+            np.random.default_rng(7).normal(size=(2, 96, 3, 96)).astype(np.float32)
+        )
+        via_nhwc = patchify(jnp.transpose(x_hcw, (0, 1, 3, 2)), 8)
+        direct = patchify_hcw(x_hcw, 8)
+        np.testing.assert_array_equal(np.asarray(direct), np.asarray(via_nhwc))
+
 
 class TestMasking:
     def test_counts(self):
@@ -173,6 +184,42 @@ class TestAugment:
         a = np.asarray(random_resized_crop_flip_normalize(rng, imgs))
         b = np.asarray(random_resized_crop_flip_normalize(rng, imgs))
         np.testing.assert_array_equal(a, b)
+
+    def test_flip_fold_is_output_column_reverse(self):
+        """flip=True ≡ reversing the output columns of flip=False, exactly.
+
+        Guards the round-5 coordinate-level flip fold (the reverse now runs
+        on the (B, out) source coordinates, not the weight matrix)."""
+        from ssrl_vit_mae_jepa_tpu.ops.augment import apply_augment
+
+        imgs = jnp.asarray(
+            np.random.default_rng(4).integers(0, 256, (3, 96, 96, 3), dtype=np.uint8)
+        )
+        u = jnp.asarray(np.random.default_rng(5).uniform(size=(3, 4)), jnp.float32)
+        no_flip = np.asarray(
+            apply_augment(u, jnp.zeros((3,), bool), imgs, out_size=96)
+        )
+        flipped = np.asarray(
+            apply_augment(u, jnp.ones((3,), bool), imgs, out_size=96)
+        )
+        np.testing.assert_array_equal(flipped, no_flip[:, :, ::-1, :])
+
+    def test_apply_augment_patches_exact(self):
+        """apply_augment_patches ≡ patchify(apply_augment(...)) bit-exactly
+        (same GEMMs, same order — only the pixel reordering route differs)."""
+        from ssrl_vit_mae_jepa_tpu.ops.augment import (
+            apply_augment, apply_augment_patches, draw_augment_params,
+        )
+        from ssrl_vit_mae_jepa_tpu.ops.patches import patchify
+
+        imgs = jnp.asarray(
+            np.random.default_rng(6).integers(0, 256, (4, 96, 96, 3), dtype=np.uint8)
+        )
+        u, flip = draw_augment_params(jax.random.PRNGKey(12), 4)
+        via_images = patchify(apply_augment(u, flip, imgs, out_size=96), 8)
+        direct = apply_augment_patches(u, flip, imgs, patch_size=8, out_size=96)
+        assert direct.shape == (4, 144, 192)
+        np.testing.assert_array_equal(np.asarray(direct), np.asarray(via_images))
 
 
 class TestSchedules:

@@ -211,6 +211,46 @@ class TestMAETraining:
             jax.device_get(grads_d), jax.device_get(grads_g),
         )
 
+    def test_patch_preprocess_matches_image_preprocess(self, monkeypatch):
+        """SSRL_AUG_PATCHES=1 (default) ≡ the image-tensor augment path.
+
+        The fused augment→patchify preprocess must reproduce the image
+        path's loss AND parameter gradients (bit-identical pixel values
+        enter the same GEMMs; only the reordering route differs)."""
+        cfg = small_cfg()
+
+        def loss_and_grads(patches: bool):
+            monkeypatch.setenv("SSRL_AUG_PATCHES", "1" if patches else "0")
+            task = MAETask(cfg["model"], cfg["pretrain"], dtype=jnp.float32)
+            params = task.init_params(jax.random.PRNGKey(11))
+            imgs_u8 = jnp.asarray(
+                np.random.default_rng(5).integers(
+                    0, 256, (8, 96, 96, 3), dtype=np.uint8
+                )
+            )
+            batch = {"weight": jnp.ones((8,), jnp.float32)}
+            ctx = task.epoch_context(0)
+            x = task.preprocess_train(jax.random.PRNGKey(7), imgs_u8)
+            assert x.ndim == (3 if patches else 4)
+
+            def f(p):
+                loss, _ = task.loss_and_metric_sums(
+                    p, x, batch, jax.random.PRNGKey(3), ctx
+                )
+                return loss
+
+            return jax.value_and_grad(f)(params)
+
+        loss_i, grads_i = loss_and_grads(False)
+        loss_p, grads_p = loss_and_grads(True)
+        np.testing.assert_allclose(loss_p, loss_i, rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, rtol=5e-5, atol=1e-7
+            ),
+            jax.device_get(grads_p), jax.device_get(grads_i),
+        )
+
     def test_fused_steps_match_sequential(self):
         """train_steps_fused(n) ≡ n sequential train_step dispatches.
 
